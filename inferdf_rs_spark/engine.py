@@ -1,0 +1,114 @@
+"""Engine facade: the Spark-side equivalent of the reference ``System``.
+
+A ``System`` holds a deduped rule list (reference src/system/mod.rs:26-72)
+and runs deduction / fixpoint / validation over a (triples, terms)
+dataset pair.  Rule constants are dictionary-encoded once per system via
+one tiny Spark job so their ids agree byte-for-byte with bulk-encoded
+data (see terms.encode_terms).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.conclude import Concluded, conclude, merge_concluded
+from .operators.fixpoint import FixpointResult, fixpoint
+from .operators.match import find_substitutions
+from .operators.validate import ValidationResult, validate
+from .rules import Rule, load_rules, rule_to_json
+from .schemas import CAUSE_STATED, TRIPLES_SCHEMA
+from .terms import Term, encode_terms, resource_facets, terms_df
+
+
+@dataclass
+class Dataset:
+    """A signed fact store + its interpretation dictionary."""
+
+    triples: DataFrame
+    terms: DataFrame
+
+
+def build_dataset(spark: SparkSession, facts: list) -> Dataset:
+    """Build a Dataset from driver-side facts (test/fixture path).
+
+    ``facts``: list of (s, p, o) or (s, p, o, sign) tuples of Terms.
+    """
+    norm = [(f[0], f[1], f[2], f[3] if len(f) > 3 else True) for f in facts]
+    all_terms: list[Term] = []
+    for s, p, o, _ in norm:
+        all_terms += [s, p, o]
+    tdf = terms_df(spark, all_terms)
+    ids = encode_terms(spark, all_terms)
+    rows = [
+        (ids[s], ids[p], ids[o], bool(sign), CAUSE_STATED, None, None, 0, "stated")
+        for s, p, o, sign in norm
+    ]
+    trips = spark.createDataFrame(rows, TRIPLES_SCHEMA)
+    return Dataset(trips, tdf)
+
+
+class System:
+    """Deduction system: deduped rules + encoded constants."""
+
+    def __init__(self, spark: SparkSession, rules=(), functions: dict | None = None):
+        self.spark = spark
+        self.rules: list[Rule] = []
+        self._seen: set[str] = set()
+        self.functions = functions or {}
+        self._const_ids: dict | None = None
+        for r in load_rules(list(rules)):
+            self.insert(r)
+
+    def insert(self, rule: Rule) -> int:
+        """Insert with dedup (reference System::insert, src/system/mod.rs:58-72)."""
+        key = rule_to_json(rule)
+        if key not in self._seen:
+            rule.validate()
+            self._seen.add(key)
+            self.rules.append(rule)
+            self._const_ids = None  # new constants may appear
+        return self.rules.index(rule) if rule in self.rules else len(self.rules) - 1
+
+    def const_ids(self) -> dict:
+        if self._const_ids is None:
+            consts: list[Term] = []
+            for r in self.rules:
+                consts += r.constants()
+            self._const_ids = encode_terms(self.spark, consts)
+        return self._const_ids
+
+    def rule_constants_terms(self) -> DataFrame:
+        """Terms dimension rows for all rule constants (merge into the
+        dataset dictionary so decode/facet views cover them)."""
+        consts: list[Term] = []
+        for r in self.rules:
+            consts += r.constants()
+        return terms_df(self.spark, consts)
+
+    # ------------------------------------------------------------ entry 2
+    def deduce(self, ds: Dataset, delta: DataFrame | None = None, round_num: int = 0) -> Concluded:
+        """One deduction round (System::deduce, src/system/mod.rs:110-119);
+        pass ``delta`` for the seeded semi-naive variant (deduce_from_triple,
+        src/system/mod.rs:124-149)."""
+        facets = resource_facets(ds.terms)
+        cids = self.const_ids()
+        batches = []
+        for idx, rule in enumerate(self.rules):
+            subst = find_substitutions(ds.triples, rule, cids, delta=delta)
+            batches.append(conclude(subst, rule, idx, cids, facets, round_num, self.functions))
+        return merge_concluded(self.spark, batches)
+
+    def fixpoint(self, ds: Dataset, **kw) -> FixpointResult:
+        """Deduce→insert to fixpoint (the caller-driven loop of
+        src/lib.rs:56-69, run semi-naively)."""
+        return fixpoint(
+            self.spark, ds.triples, ds.terms, self.rules, self.const_ids(), self.functions, **kw
+        )
+
+    # ------------------------------------------------------------ entry 3
+    def validate(self, ds: Dataset) -> ValidationResult:
+        """System::validate (src/system/mod.rs:188-265): all violations."""
+        return validate(self.spark, ds.triples, ds.terms, self.rules, self.const_ids(), self.functions)

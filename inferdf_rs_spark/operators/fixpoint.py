@@ -1,0 +1,216 @@
+"""Semi-naive forward-chaining fixpoint with per-round checkpoint/resume.
+
+The reference exposes one deduction round and leaves the fixpoint to the
+caller (doc example src/lib.rs:56-69); its seeded
+``deduce_from_triple``/``excluded_hypothesis`` API (src/system/mod.rs:124-149,
+src/rule/mod.rs:79-108) is exactly the hook semi-naive evaluation needs.
+Here the loop is driver-side:
+
+    round k:  delta_{k-1} ⋈ rules ⋈ store  → conclusions
+              new = conclusions ∖ store (left-anti on the triple key)
+              store ∪= new;  delta_k = new;  stop when empty
+
+Scale design:
+- the delta is small after round 1 → AQE broadcasts it into the
+  store-side scans; the store itself is never re-shuffled per round;
+- every round's new facts and new terms are (optionally) appended as a
+  parquet checkpoint with an atomically-updated meta file, so a killed
+  job resumes between rounds (north_rule requirement);
+- lineage columns ride on every deduced fact (cause/rule/subst/round).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..rules import Rule
+from ..schemas import TRIPLE_KEY, TERMS_SCHEMA, TRIPLES_SCHEMA
+from ..terms import merge_terms, resource_facets
+from .conclude import Concluded, conclude, merge_concluded
+from .match import find_substitutions
+
+
+class ExpressionError(RuntimeError):
+    """Deduction hit an expression error (reference returns Err from eval)."""
+
+
+@dataclass
+class FixpointResult:
+    store: DataFrame
+    terms: DataFrame
+    eqs: DataFrame
+    trues: DataFrame
+    rounds: int
+    metrics: list = field(default_factory=list)
+
+
+def _deduce_round(
+    spark: SparkSession,
+    store: DataFrame,
+    terms: DataFrame,
+    rules: list[Rule],
+    const_ids: dict,
+    delta: DataFrame | None,
+    round_num: int,
+    functions: dict | None,
+) -> Concluded:
+    facets = resource_facets(terms)
+    batches = []
+    for idx, rule in enumerate(rules):
+        subst = find_substitutions(store, rule, const_ids, delta=delta)
+        batches.append(conclude(subst, rule, idx, const_ids, facets, round_num, functions))
+    return merge_concluded(spark, batches)
+
+
+def _meta_path(d: str) -> str:
+    return os.path.join(d, "meta.json")
+
+
+def _write_meta(d: str, meta: dict) -> None:
+    tmp = _meta_path(d) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, _meta_path(d))  # atomic: resume sees complete rounds only
+
+
+def read_meta(d: str) -> dict | None:
+    try:
+        with open(_meta_path(d)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+EQS_SCHEMA = "a bigint, b bigint, sign boolean, rule_id bigint, subst_hash bigint"
+TRUES_SCHEMA = (
+    "res bigint, vtype int, bval boolean, verr int, sign boolean, rule_id bigint, subst_hash bigint"
+)
+
+
+def fixpoint(
+    spark: SparkSession,
+    store: DataFrame,
+    terms: DataFrame,
+    rules: list[Rule],
+    const_ids: dict,
+    functions: dict | None = None,
+    max_rounds: int = 100,
+    checkpoint_dir: str | None = None,
+    insert_negatives: bool = False,
+    strict_errors: bool = True,
+) -> FixpointResult:
+    """Run deduce→insert to fixpoint (U3/U4 + J2/J3).
+
+    Only positive Triple statements are inserted back into the store,
+    mirroring the reference doc example (src/lib.rs:62-69); Eq and True
+    statements accumulate in side tables for the caller (the reference
+    likewise leaves them to the caller — it only checks them in
+    validation).  Set ``insert_negatives`` to also store negative facts.
+    """
+    eqs = spark.createDataFrame([], EQS_SCHEMA)
+    trues = spark.createDataFrame([], TRUES_SCHEMA)
+    metrics: list[dict] = []
+
+    start_round = 0
+    if checkpoint_dir:
+        meta = read_meta(checkpoint_dir)
+        if meta is None:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            store.write.mode("overwrite").parquet(os.path.join(checkpoint_dir, "base"))
+            terms.write.mode("overwrite").parquet(os.path.join(checkpoint_dir, "terms_base"))
+            _write_meta(checkpoint_dir, {"round": 0, "done": False})
+            meta = {"round": 0, "done": False}
+        st, tm, dl, eqs_c, trues_c, metrics_c = load_checkpoint(spark, checkpoint_dir)
+        store, terms, delta = st, tm, dl
+        eqs, trues = eqs_c, trues_c
+        metrics = metrics_c
+        start_round = meta["round"]
+        if meta.get("done"):
+            return FixpointResult(store, terms, eqs, trues, start_round, metrics)
+    else:
+        delta = None  # round 1 = full deduce
+
+    store = store.localCheckpoint(eager=True)
+    terms = terms.localCheckpoint(eager=True)
+    if delta is not None:
+        delta = delta.localCheckpoint(eager=True)
+
+    rnd = start_round
+    while rnd < max_rounds:
+        rnd += 1
+        c = _deduce_round(spark, store, terms, rules, const_ids, delta, rnd, functions)
+        if strict_errors:
+            bad = c.errors.limit(1).collect()
+            if bad:
+                raise ExpressionError(f"expression error in round {rnd}: {bad[0].asDict()}")
+
+        deduced = c.triples if insert_negatives else c.triples.filter(F.col("sign"))
+        new = (
+            deduced.join(store.select(*TRIPLE_KEY), on=TRIPLE_KEY, how="left_anti")
+            .dropDuplicates(TRIPLE_KEY)
+            .localCheckpoint(eager=True)
+        )
+        n_new = new.count()
+
+        new_terms = (
+            c.new_terms.join(terms.select("term_id"), on="term_id", how="left_anti")
+            .dropDuplicates(["term_id"])
+            .localCheckpoint(eager=True)
+        )
+        round_eqs = c.eqs.dropDuplicates().localCheckpoint(eager=True)
+        round_trues = c.trues.dropDuplicates().localCheckpoint(eager=True)
+        eqs = eqs.unionByName(round_eqs).dropDuplicates()
+        trues = trues.unionByName(round_trues).dropDuplicates()
+
+        metrics.append({"round": rnd, "new_facts": n_new})
+        done = n_new == 0
+
+        if checkpoint_dir:
+            new.write.mode("overwrite").parquet(os.path.join(checkpoint_dir, f"delta/round={rnd}"))
+            new_terms.write.mode("overwrite").parquet(
+                os.path.join(checkpoint_dir, f"new_terms/round={rnd}")
+            )
+            round_eqs.write.mode("overwrite").parquet(os.path.join(checkpoint_dir, f"eqs/round={rnd}"))
+            round_trues.write.mode("overwrite").parquet(
+                os.path.join(checkpoint_dir, f"trues/round={rnd}")
+            )
+            _write_meta(checkpoint_dir, {"round": rnd, "done": done, "metrics": metrics})
+
+        if done:
+            break
+        store = store.unionByName(new)
+        terms = merge_terms(terms, new_terms)
+        delta = new
+        if rnd % 8 == 0:
+            # compact the union-of-deltas plan periodically
+            store = store.localCheckpoint(eager=True)
+            terms = terms.localCheckpoint(eager=True)
+
+    return FixpointResult(store, terms, eqs, trues, rnd, metrics)
+
+
+def load_checkpoint(spark: SparkSession, checkpoint_dir: str):
+    """Rebuild fixpoint state from a checkpoint dir (resume path)."""
+    meta = read_meta(checkpoint_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no checkpoint at {checkpoint_dir}")
+    store = spark.read.schema(TRIPLES_SCHEMA).parquet(os.path.join(checkpoint_dir, "base"))
+    terms = spark.read.schema(TERMS_SCHEMA).parquet(os.path.join(checkpoint_dir, "terms_base"))
+    eqs = spark.createDataFrame([], EQS_SCHEMA)
+    trues = spark.createDataFrame([], TRUES_SCHEMA)
+    delta = None
+    for k in range(1, meta["round"] + 1):
+        d = spark.read.schema(TRIPLES_SCHEMA).parquet(os.path.join(checkpoint_dir, f"delta/round={k}"))
+        store = store.unionByName(d)
+        terms = terms.unionByName(
+            spark.read.schema(TERMS_SCHEMA).parquet(os.path.join(checkpoint_dir, f"new_terms/round={k}"))
+        )
+        eqs = eqs.unionByName(spark.read.parquet(os.path.join(checkpoint_dir, f"eqs/round={k}")))
+        trues = trues.unionByName(spark.read.parquet(os.path.join(checkpoint_dir, f"trues/round={k}")))
+        delta = d
+    return store, terms, delta, eqs.dropDuplicates(), trues.dropDuplicates(), meta.get("metrics", [])

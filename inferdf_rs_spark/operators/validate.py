@@ -1,0 +1,160 @@
+"""Validation: deduce one round, then check every concluded statement holds.
+
+Reference: ``Rule::validate`` / ``System::validate``
+(src/rule/mod.rs:110-158,210-237; src/system/mod.rs:188-265) and the
+per-statement checks in ``Deductions::try_validate``
+(src/system/deduction.rs:90-168):
+
+- Triple  ⇒ must be contained (signed) in the dataset → MissingTriple
+- Eq(a,b) ⇒ Positive: ids equal (NotEq) / Negative: differ (NotNe)
+- True(r) ⇒ resource must carry an xsd:boolean literal equal to the
+  sign (NotTrue/NotFalse); malformed boolean literal ⇒ InvalidLiteral
+
+The reference short-circuits at the first violation; Spark finds **all**
+violations in one pass — same validity verdict, a superset of diagnostics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..rules import Rule
+from ..schemas import (
+    ERR_INVALID_LITERAL,
+    ERR_NONE,
+    KIND_LITERAL,
+    TRIPLE_KEY,
+    VT_ANY,
+    VT_BOOL,
+    XSD_BOOLEAN,
+)
+from ..terms import resource_facets
+from .conclude import conclude, merge_concluded
+from .fixpoint import ExpressionError
+from .match import find_substitutions
+
+# reason_kind codes (reference Reason, src/lib.rs:188-206)
+REASON_MISSING_TRIPLE = 0
+REASON_NOT_EQ = 1
+REASON_NOT_NE = 2
+REASON_NOT_TRUE = 3
+REASON_NOT_FALSE = 4
+
+VIOLATIONS_SCHEMA = (
+    "reason_kind int, s bigint, p bigint, o bigint, sign boolean, a bigint, b bigint, "
+    "res bigint, rule_id bigint, subst_hash bigint"
+)
+
+
+@dataclass
+class ValidationResult:
+    violations: DataFrame
+
+    def is_valid(self) -> bool:
+        return not self.violations.limit(1).collect()
+
+
+def boolean_facets(terms: DataFrame) -> DataFrame:
+    """Per-resource xsd:boolean literal summary for the True check (V4).
+
+    The reference scans *all* literals of the resource, considering only
+    xsd:boolean-typed ones; a malformed boolean lexical is an
+    InvalidLiteral error (src/system/deduction.rs:132-162)."""
+    b = F.when(F.col("lexical").isin("true", "1"), F.lit(True)).when(
+        F.col("lexical").isin("false", "0"), F.lit(False)
+    )
+    return (
+        terms.filter((F.col("kind") == KIND_LITERAL) & (F.col("datatype") == XSD_BOOLEAN))
+        .select(F.col("term_id").alias("bres"), b.alias("bb"))
+        .groupBy("bres")
+        .agg(
+            F.max(F.col("bb") == True).alias("has_true"),  # noqa: E712
+            F.max(F.col("bb") == False).alias("has_false"),  # noqa: E712
+            F.max(F.col("bb").isNull()).alias("parse_err"),
+        )
+    )
+
+
+def validate(
+    spark: SparkSession,
+    store: DataFrame,
+    terms: DataFrame,
+    rules: list[Rule],
+    const_ids: dict,
+    functions: dict | None = None,
+) -> ValidationResult:
+    """One full deduction round routed into the three violation checks."""
+    facets = resource_facets(terms)
+    batches = []
+    for idx, rule in enumerate(rules):
+        subst = find_substitutions(store, rule, const_ids, delta=None)
+        batches.append(conclude(subst, rule, idx, const_ids, facets, 0, functions))
+    c = merge_concluded(spark, batches)
+
+    bad = c.errors.limit(1).collect()
+    if bad:
+        raise ExpressionError(f"expression error during validation: {bad[0].asDict()}")
+
+    nulls = {
+        "s": F.lit(None).cast("bigint"),
+        "p": F.lit(None).cast("bigint"),
+        "o": F.lit(None).cast("bigint"),
+        "sign": F.lit(None).cast("boolean"),
+        "a": F.lit(None).cast("bigint"),
+        "b": F.lit(None).cast("bigint"),
+        "res": F.lit(None).cast("bigint"),
+    }
+
+    def shape(df: DataFrame, reason, **cols) -> DataFrame:
+        merged = {**nulls, **cols}
+        return df.select(
+            F.lit(reason).alias("reason_kind"),
+            *[merged[k].alias(k) for k in ("s", "p", "o", "sign", "a", "b", "res")],
+            F.col("rule_id"),
+            F.col("subst_hash"),
+        )
+
+    # V2 / J4: containment anti-join — concluded triples absent from the store
+    missing = c.triples.join(store.select(*TRIPLE_KEY).dropDuplicates(), on=TRIPLE_KEY, how="left_anti")
+    v_missing = shape(
+        missing, REASON_MISSING_TRIPLE, s=F.col("s"), p=F.col("p"), o=F.col("o"), sign=F.col("sign")
+    )
+
+    # V3: Eq / Ne id checks
+    not_eq = c.eqs.filter(F.col("sign") & (F.col("a") != F.col("b")))
+    not_ne = c.eqs.filter(~F.col("sign") & (F.col("a") == F.col("b")))
+    v_eq = shape(not_eq, REASON_NOT_EQ, a=F.col("a"), b=F.col("b"))
+    v_ne = shape(not_ne, REASON_NOT_NE, a=F.col("a"), b=F.col("b"))
+
+    # V4: True / False boolean-facet check
+    bf = boolean_facets(terms)
+    t = c.trues.join(bf, c.trues.res == bf.bres, "left")
+    t_err = t.filter(F.coalesce(F.col("parse_err"), F.lit(False)))
+    if t_err.limit(1).collect():
+        raise ExpressionError("InvalidLiteral: malformed xsd:boolean literal in True check")
+    expected = F.col("sign")
+    found = (
+        F.when(F.col("vtype") == VT_BOOL, F.col("bval") == expected)
+        .when(
+            F.col("vtype") == VT_ANY,
+            F.when(expected, F.coalesce(F.col("has_true"), F.lit(False))).otherwise(
+                F.coalesce(F.col("has_false"), F.lit(False))
+            ),
+        )
+        .otherwise(F.lit(False))
+    )
+    not_true = t.filter(~found)
+    # reason depends on the statement sign (NotTrue vs NotFalse)
+    v_true = not_true.select(
+        F.when(F.col("sign"), F.lit(REASON_NOT_TRUE)).otherwise(F.lit(REASON_NOT_FALSE)).alias("reason_kind"),
+        *[nulls[k].alias(k) for k in ("s", "p", "o", "sign", "a", "b")],
+        F.col("res"),
+        F.col("rule_id"),
+        F.col("subst_hash"),
+    )
+
+    violations = v_missing.unionByName(v_eq).unionByName(v_ne).unionByName(v_true)
+    return ValidationResult(violations)

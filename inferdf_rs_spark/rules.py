@@ -1,0 +1,370 @@
+"""Rule IR: the engine's "query language".
+
+Mirrors the serde shape of the reference rule types — ``Rule { variables,
+hypothesis, conclusion }`` (reference src/rule/mod.rs:28-34), hypothesis
+= conjunction of signed triple patterns (src/rule/hypothesis.rs:11-13),
+conclusion = existential-variable count + signed statements
+(src/rule/conclusion.rs:8-14), statements = Triple | Eq | True
+(src/statement.rs:11-20) over expression trees Resource | Literal | Call
+(src/expression/mod.rs:28-32) with built-ins Or/And/Compare/Matches
+(src/expression/mod.rs:207-220).
+
+Rules are data (JSON rows), not macros: the reference's ``rule!`` macro
+is a compile-time convenience; our loader performs the same variable
+counting/validation at load time.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import dataclass, field
+
+from .terms import Term
+
+# built-in function names (reference BuiltInFunction + ComparisonOperator,
+# src/expression/mod.rs:207-220, 315-334)
+BUILTINS = {"or", "and", "eq", "ne", "lt", "leq", "gt", "geq", "matches"}
+COMPARE_OPS = {"eq", "ne", "lt", "leq", "gt", "geq"}
+
+
+@dataclass(frozen=True)
+class Var:
+    index: int
+
+
+@dataclass(frozen=True)
+class Lit:
+    """Expression literal: Decimal | String | Regex
+    (reference src/expression/literal.rs:10-19)."""
+
+    space: str  # 'dec' | 'str' | 'regex'
+    value: str
+
+
+@dataclass(frozen=True)
+class Call:
+    fn: str
+    args: tuple  # of Expr
+
+
+# Expr = Var | Term | Lit | Call
+Expr = object
+
+
+@dataclass(frozen=True)
+class SignedPattern:
+    """Signed triple pattern; positions are Var or constant Term.
+
+    Non-linear patterns (same var twice) are equality constraints
+    (reference src/lib.rs:8-10, src/pattern/mod.rs:16-26).
+    """
+
+    sign: bool
+    s: Expr
+    p: Expr
+    o: Expr
+
+    def positions(self):
+        return (self.s, self.p, self.o)
+
+
+@dataclass(frozen=True)
+class TripleStmt:
+    s: Expr
+    p: Expr
+    o: Expr
+
+
+@dataclass(frozen=True)
+class EqStmt:
+    a: Expr
+    b: Expr
+
+
+@dataclass(frozen=True)
+class TrueStmt:
+    e: Expr
+
+
+@dataclass(frozen=True)
+class SignedStatement:
+    sign: bool
+    stmt: object  # TripleStmt | EqStmt | TrueStmt
+
+
+@dataclass(frozen=True)
+class Conclusion:
+    variables: int  # existential vars, numbered after rule vars
+    statements: tuple = field(default_factory=tuple)
+
+
+@dataclass(frozen=True)
+class Rule:
+    variables: int
+    hypothesis: tuple  # of SignedPattern
+    conclusion: Conclusion
+
+    @property
+    def rule_id(self) -> int:
+        """Deterministic 63-bit id from the canonical JSON encoding."""
+        h = hashlib.sha256(rule_to_json(self).encode()).digest()
+        return int.from_bytes(h[:8], "big") & 0x7FFF_FFFF_FFFF_FFFF
+
+    def hypothesis_vars(self) -> set[int]:
+        out: set[int] = set()
+        for pat in self.hypothesis:
+            for pos in pat.positions():
+                if isinstance(pos, Var):
+                    out.add(pos.index)
+        return out
+
+    def conclusion_vars(self) -> set[int]:
+        out: set[int] = set()
+
+        def walk(e):
+            if isinstance(e, Var):
+                out.add(e.index)
+            elif isinstance(e, Call):
+                for a in e.args:
+                    walk(a)
+
+        for st in self.conclusion.statements:
+            s = st.stmt
+            if isinstance(s, TripleStmt):
+                walk(s.s), walk(s.p), walk(s.o)
+            elif isinstance(s, EqStmt):
+                walk(s.a), walk(s.b)
+            else:
+                walk(s.e)
+        return out
+
+    def constants(self) -> list[Term]:
+        """All constant Terms appearing anywhere in the rule (for encoding)."""
+        out: list[Term] = []
+
+        def walk(e):
+            if isinstance(e, Term):
+                out.append(e)
+            elif isinstance(e, Call):
+                for a in e.args:
+                    walk(a)
+
+        for pat in self.hypothesis:
+            for pos in pat.positions():
+                walk(pos)
+        for st in self.conclusion.statements:
+            s = st.stmt
+            if isinstance(s, TripleStmt):
+                walk(s.s), walk(s.p), walk(s.o)
+            elif isinstance(s, EqStmt):
+                walk(s.a), walk(s.b)
+            else:
+                walk(s.e)
+        return out
+
+    def validate(self) -> None:
+        """Load-time variable sanity (the reference panics at eval time on
+        an unbound conclusion var — src/system/deduction.rs:234 unwrap)."""
+        hvars = self.hypothesis_vars()
+        for x in hvars:
+            if x >= self.variables:
+                raise ValueError(f"hypothesis var ?{x} out of range (variables={self.variables})")
+        limit = self.variables + self.conclusion.variables
+        for x in self.conclusion_vars():
+            if x >= limit:
+                raise ValueError(f"conclusion var ?{x} out of range (limit={limit})")
+            if x < self.variables and x not in hvars:
+                raise ValueError(f"conclusion uses rule var ?{x} not bound by any hypothesis")
+
+
+# ------------------------------------------------------------- builders
+
+
+def v(i: int) -> Var:
+    return Var(i)
+
+
+def iri(x: str) -> Term:
+    return Term.iri(x)
+
+
+def blank(x: str) -> Term:
+    return Term.blank(x)
+
+
+def lit(value: str, datatype: str | None = None) -> Term:
+    from .schemas import XSD_STRING
+
+    return Term.literal(value, datatype or XSD_STRING)
+
+
+def dec(x) -> Lit:
+    return Lit("dec", str(x))
+
+
+def s_(x: str) -> Lit:
+    return Lit("str", x)
+
+
+def regex(x: str) -> Lit:
+    return Lit("regex", x)
+
+
+def call(fn: str, *args) -> Call:
+    return Call(fn, tuple(args))
+
+
+def pat(sign, s, p, o) -> SignedPattern:
+    return SignedPattern(sign in (True, "+"), s, p, o)
+
+
+def stmt_triple(sign, s, p, o) -> SignedStatement:
+    return SignedStatement(sign in (True, "+"), TripleStmt(s, p, o))
+
+
+def stmt_eq(sign, a, b) -> SignedStatement:
+    return SignedStatement(sign in (True, "+"), EqStmt(a, b))
+
+
+def stmt_true(sign, e) -> SignedStatement:
+    return SignedStatement(sign in (True, "+"), TrueStmt(e))
+
+
+def rule(variables: int, hypothesis, statements, existentials: int = 0) -> Rule:
+    r = Rule(variables, tuple(hypothesis), Conclusion(existentials, tuple(statements)))
+    r.validate()
+    return r
+
+
+# ----------------------------------------------------------- JSON codec
+
+
+def _expr_to_obj(e):
+    if isinstance(e, Var):
+        return {"var": e.index}
+    if isinstance(e, Term):
+        from .schemas import KIND_BLANK, KIND_IRI
+
+        if e.kind == KIND_IRI:
+            return {"iri": e.lexical}
+        if e.kind == KIND_BLANK:
+            return {"blank": e.lexical}
+        out = {"literal": {"value": e.lexical, "datatype": e.datatype}}
+        if e.lang:
+            out["literal"]["lang"] = e.lang
+        return out
+    if isinstance(e, Lit):
+        return {"lit": {"space": e.space, "value": e.value}}
+    if isinstance(e, Call):
+        return {"call": {"fn": e.fn, "args": [_expr_to_obj(a) for a in e.args]}}
+    raise TypeError(f"not an expression node: {e!r}")
+
+
+def _expr_from_obj(o):
+    if "var" in o:
+        return Var(int(o["var"]))
+    if "iri" in o:
+        return Term.iri(o["iri"])
+    if "blank" in o:
+        return Term.blank(o["blank"])
+    if "literal" in o:
+        from .schemas import XSD_STRING
+
+        lo = o["literal"]
+        return Term.literal(lo["value"], lo.get("datatype") or XSD_STRING, lo.get("lang"))
+    if "lit" in o:
+        return Lit(o["lit"]["space"], o["lit"]["value"])
+    if "call" in o:
+        fn = o["call"]["fn"]
+        return Call(fn, tuple(_expr_from_obj(a) for a in o["call"]["args"]))
+    raise ValueError(f"bad expression object: {o!r}")
+
+
+def _sign_str(sign: bool) -> str:
+    return "+" if sign else "-"
+
+
+def rule_to_obj(r: Rule) -> dict:
+    return {
+        "variables": r.variables,
+        "hypothesis": [
+            {"sign": _sign_str(p.sign), "s": _expr_to_obj(p.s), "p": _expr_to_obj(p.p), "o": _expr_to_obj(p.o)}
+            for p in r.hypothesis
+        ],
+        "conclusion": {
+            "variables": r.conclusion.variables,
+            "statements": [_stmt_to_obj(st) for st in r.conclusion.statements],
+        },
+    }
+
+
+def _stmt_to_obj(st: SignedStatement) -> dict:
+    s = st.stmt
+    if isinstance(s, TripleStmt):
+        body = {"triple": {"s": _expr_to_obj(s.s), "p": _expr_to_obj(s.p), "o": _expr_to_obj(s.o)}}
+    elif isinstance(s, EqStmt):
+        body = {"eq": [_expr_to_obj(s.a), _expr_to_obj(s.b)]}
+    else:
+        body = {"true": _expr_to_obj(s.e)}
+    return {"sign": _sign_str(st.sign), **body}
+
+
+def _stmt_from_obj(o: dict) -> SignedStatement:
+    sign = o.get("sign", "+") == "+"
+    if "triple" in o:
+        t = o["triple"]
+        return SignedStatement(sign, TripleStmt(_expr_from_obj(t["s"]), _expr_from_obj(t["p"]), _expr_from_obj(t["o"])))
+    if "eq" in o:
+        a, b = o["eq"]
+        return SignedStatement(sign, EqStmt(_expr_from_obj(a), _expr_from_obj(b)))
+    if "true" in o:
+        return SignedStatement(sign, TrueStmt(_expr_from_obj(o["true"])))
+    raise ValueError(f"bad statement object: {o!r}")
+
+
+def rule_to_json(r: Rule) -> str:
+    return json.dumps(rule_to_obj(r), sort_keys=True, separators=(",", ":"))
+
+
+def rule_from_obj(o: dict) -> Rule:
+    hyp = tuple(
+        SignedPattern(
+            p.get("sign", "+") == "+",
+            _expr_from_obj(p["s"]),
+            _expr_from_obj(p["p"]),
+            _expr_from_obj(p["o"]),
+        )
+        for p in o["hypothesis"]
+    )
+    concl = o.get("conclusion", {})
+    r = Rule(
+        int(o["variables"]),
+        hyp,
+        Conclusion(int(concl.get("variables", 0)), tuple(_stmt_from_obj(s) for s in concl.get("statements", []))),
+    )
+    r.validate()
+    return r
+
+
+def rule_from_json(s: str) -> Rule:
+    return rule_from_obj(json.loads(s))
+
+
+def load_rules(specs: list[str | dict | Rule]) -> list[Rule]:
+    """Parse + dedup a rule list (reference System::insert dedups via a
+    HashMap — src/system/mod.rs:58-72; here dedup on canonical JSON)."""
+    out: list[Rule] = []
+    seen: set[str] = set()
+    for spec in specs:
+        if isinstance(spec, Rule):
+            r = spec
+        elif isinstance(spec, dict):
+            r = rule_from_obj(spec)
+        else:
+            r = rule_from_json(spec)
+        key = rule_to_json(r)
+        if key not in seen:
+            seen.add(key)
+            out.append(r)
+    return out
