@@ -170,10 +170,16 @@ def conclude(
                 F.col("subst_hash"),
                 iterm.alias("_term"),
             )
-            terms_parts.append(
-                row.select(F.col("_term").alias("t")).filter(F.col("t").isNotNull()).select("t.*")
+            err_parts.append(
+                row.filter(F.col("verr") != ERR_NONE).select(
+                    "rule_id", "subst_hash", F.col("verr").alias("err")
+                )
             )
-            trues_parts.append(row.drop("_term"))
+            ok = row.filter(F.col("verr") == ERR_NONE)
+            terms_parts.append(
+                ok.select(F.col("_term").alias("t")).filter(F.col("t").isNotNull()).select("t.*")
+            )
+            trues_parts.append(ok.drop("_term"))
         else:
             raise TypeError(f"unknown statement {s!r}")
 

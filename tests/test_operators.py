@@ -1,0 +1,299 @@
+"""Operator-level fixtures (FIXTURES.md §6.5 / SURVEY.md §2)."""
+
+import pytest
+
+from inferdf_rs_spark import (
+    System,
+    Term,
+    blank,
+    build_dataset,
+    call,
+    dec,
+    iri,
+    pat,
+    rule,
+    s_,
+    stmt_eq,
+    stmt_triple,
+    stmt_true,
+    v,
+)
+from inferdf_rs_spark.operators.fixpoint import ExpressionError
+from inferdf_rs_spark.operators.match import find_substitutions
+from inferdf_rs_spark.terms import decode_triples, encode_terms
+
+EX = "https://example.org/#"
+
+
+def test_nonlinear_pattern_self_loop(spark):
+    # ?x <#knows> ?x matches only self-loops (src/pattern/mod.rs:16-26)
+    ds = build_dataset(
+        spark,
+        [
+            (blank("a"), iri(EX + "knows"), blank("b")),
+            (blank("b"), iri(EX + "knows"), blank("b")),
+            (blank("c"), iri(EX + "knows"), blank("c")),
+        ],
+    )
+    r = rule(
+        variables=1,
+        hypothesis=[pat("+", v(0), iri(EX + "knows"), v(0))],
+        statements=[stmt_triple("+", v(0), iri(EX + "isNarcissist"), v(0))],
+    )
+    sysm = System(spark, [r])
+    subst = find_substitutions(ds.triples, r, sysm.const_ids())
+    ids = encode_terms(spark, [blank("b"), blank("c")])
+    got = {row.v0 for row in subst.collect()}
+    assert got == {ids[blank("b")], ids[blank("c")]}
+
+
+def test_negative_pattern_unsigned_store(spark):
+    # negative patterns match nothing on a store with only positive facts
+    # (blanket impl, src/dataset.rs:46-60)
+    ds = build_dataset(spark, [(blank("a"), iri(EX + "p"), blank("b"))])
+    r = rule(
+        variables=2,
+        hypothesis=[pat("-", v(0), iri(EX + "p"), v(1))],
+        statements=[stmt_triple("+", v(0), iri(EX + "q"), v(1))],
+    )
+    sysm = System(spark, [r])
+    assert find_substitutions(ds.triples, r, sysm.const_ids()).count() == 0
+
+
+def test_negative_pattern_signed_store(spark):
+    # ... but matches explicitly-negative facts on a signed store
+    ds = build_dataset(
+        spark,
+        [
+            (blank("a"), iri(EX + "p"), blank("b"), False),
+            (blank("c"), iri(EX + "p"), blank("d"), True),
+        ],
+    )
+    r = rule(
+        variables=2,
+        hypothesis=[pat("-", v(0), iri(EX + "p"), v(1))],
+        statements=[stmt_triple("+", v(0), iri(EX + "q"), v(1))],
+    )
+    sysm = System(spark, [r])
+    assert find_substitutions(ds.triples, r, sysm.const_ids()).count() == 1
+
+
+def test_existential_minting_deterministic(spark):
+    # for ?x,?y { ?x <#a> ?y } => for ?z { ?x <#b> ?z }: one fresh node
+    # per (rule, substitution); two runs mint identical ids
+    # (replaces the sequential generator at src/system/deduction.rs:225-229)
+    ds = build_dataset(
+        spark,
+        [
+            (blank("a1"), iri(EX + "a"), blank("y1")),
+            (blank("a2"), iri(EX + "a"), blank("y2")),
+        ],
+    )
+    r = rule(
+        variables=2,
+        hypothesis=[pat("+", v(0), iri(EX + "a"), v(1))],
+        statements=[stmt_triple("+", v(0), iri(EX + "b"), v(2))],
+        existentials=1,
+    )
+    sysm = System(spark, [r])
+    out1 = sysm.deduce(ds).triples.select("s", "p", "o").collect()
+    out2 = sysm.deduce(ds).triples.select("s", "p", "o").collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    # two distinct substitutions → two distinct fresh nodes
+    fresh = {row.o for row in out1}
+    assert len(fresh) == 2
+
+
+def test_existential_shared_across_statements(spark):
+    # the same fresh node is used by every statement of one deduction
+    ds = build_dataset(spark, [(blank("a"), iri(EX + "a"), blank("y"))])
+    r = rule(
+        variables=2,
+        hypothesis=[pat("+", v(0), iri(EX + "a"), v(1))],
+        statements=[
+            stmt_triple("+", v(0), iri(EX + "b"), v(2)),
+            stmt_triple("+", v(2), iri(EX + "c"), v(1)),
+        ],
+        existentials=1,
+    )
+    sysm = System(spark, [r])
+    rows = sysm.deduce(ds).triples.collect()
+    b_obj = [r2.o for r2 in rows if len([1]) and r2.s != r2.o and True]
+    by_p = {}
+    ids = encode_terms(spark, [iri(EX + "b"), iri(EX + "c")])
+    for row in rows:
+        by_p[row.p] = row
+    assert by_p[ids[iri(EX + "b")]].o == by_p[ids[iri(EX + "c")]].s
+
+
+def test_eq_conclusion_emits_pairs_and_validates(spark):
+    # Eq conclusions emit pair rows; validation checks identity per sign
+    # (src/system/deduction.rs:120-131)
+    ds = build_dataset(
+        spark,
+        [
+            (blank("x"), iri(EX + "same"), blank("x")),
+            (blank("y"), iri(EX + "same"), blank("z")),
+        ],
+    )
+    r = rule(
+        variables=2,
+        hypothesis=[pat("+", v(0), iri(EX + "same"), v(1))],
+        statements=[stmt_eq("+", v(0), v(1))],
+    )
+    sysm = System(spark, [r])
+    eqs = sysm.deduce(ds).eqs.collect()
+    assert len(eqs) == 2
+    vr = sysm.validate(ds)
+    viol = vr.violations.collect()
+    assert len(viol) == 1 and viol[0].reason_kind == 1  # NotEq for (y,z)
+
+
+def test_ambiguous_literal_error(spark):
+    # a resource with facets "5"^^xsd:int and "6"^^xsd:int ⇒ AmbiguousLiteral
+    # (src/expression/value/comparable.rs:80-89) — via Eq-merged resources
+    from inferdf_rs_spark.terms import resource_facets, terms_df
+    from inferdf_rs_spark.schemas import XSD, ERR_AMBIGUOUS_LITERAL
+
+    t5 = Term.literal("5", XSD + "int")
+    t6 = Term.literal("6", XSD + "int")
+    tdf = terms_df(spark, [t5, t6])
+    ids = encode_terms(spark, [t5, t6])
+    eq_map = spark.createDataFrame(
+        [(ids[t5], 1000), (ids[t6], 1000)], "term_id bigint, res bigint"
+    )
+    facets = resource_facets(tdf, eq_mapping=eq_map).collect()
+    assert len(facets) == 1
+    assert facets[0].err == ERR_AMBIGUOUS_LITERAL
+
+
+def test_incomparable_types_false_not_error(spark):
+    # (< "abc" 5) ⇒ false (incomparable), not an error
+    # (src/expression/value/comparable.rs:114-124)
+    ds = build_dataset(spark, [(blank("0"), iri(EX + "p"), Term.literal("abc"))])
+    r = rule(
+        variables=2,
+        hypothesis=[pat("+", v(0), iri(EX + "p"), v(1))],
+        statements=[stmt_true("+", call("lt", v(1), dec(5)))],
+    )
+    sysm = System(spark, [r])
+    vr = sysm.validate(ds)  # must NOT raise ExpressionError
+    viol = vr.violations.collect()
+    assert len(viol) == 1 and viol[0].reason_kind == 3  # NotTrue
+
+
+def test_or_short_circuit_masks_error(spark):
+    # Or returns true at the first true arg without coercing later args
+    # (src/expression/mod.rs:266-274): (or (= 1 1) ?x) with ?x a string is Ok
+    ds = build_dataset(spark, [(blank("0"), iri(EX + "p"), Term.literal("abc"))])
+    r = rule(
+        variables=2,
+        hypothesis=[pat("+", v(0), iri(EX + "p"), v(1))],
+        statements=[stmt_true("+", call("or", call("eq", dec(1), dec(1)), v(1)))],
+    )
+    sysm = System(spark, [r])
+    assert sysm.validate(ds).is_valid()
+
+    # flipped order: the non-boolean arg is hit first ⇒ expression error
+    r2 = rule(
+        variables=2,
+        hypothesis=[pat("+", v(0), iri(EX + "p"), v(1))],
+        statements=[stmt_true("+", call("or", v(1), call("eq", dec(1), dec(1))))],
+    )
+    sysm2 = System(spark, [r2])
+    with pytest.raises(ExpressionError):
+        sysm2.validate(ds)
+
+
+def test_chained_comparison(spark):
+    # (< 1 2 3) true; (< 1 3 2) false (chained n-ary,
+    # src/expression/mod.rs:284-299)
+    ds = build_dataset(spark, [(blank("0"), iri(EX + "p"), blank("1"))])
+    mk = lambda *args: System(  # noqa: E731
+        spark,
+        [
+            rule(
+                variables=2,
+                hypothesis=[pat("+", v(0), iri(EX + "p"), v(1))],
+                statements=[stmt_true("+", call("lt", *args))],
+            )
+        ],
+    )
+    assert mk(dec(1), dec(2), dec(3)).validate(ds).is_valid()
+    assert not mk(dec(1), dec(3), dec(2)).validate(ds).is_valid()
+
+
+def test_string_comparison_lexicographic(spark):
+    ds = build_dataset(spark, [(blank("0"), iri(EX + "p"), blank("1"))])
+    r = rule(
+        variables=2,
+        hypothesis=[pat("+", v(0), iri(EX + "p"), v(1))],
+        statements=[stmt_true("+", call("lt", s_("apple"), s_("banana")))],
+    )
+    assert System(spark, [r]).validate(ds).is_valid()
+
+
+def test_transitive_closure_fixpoint(spark):
+    # {?a <#anc> ?b . ?b <#anc> ?c} => {?a <#anc> ?c} over a 6-node chain
+    # ⇒ 15 triples at fixpoint; exercises the semi-naive delta
+    chain = [(blank(str(i)), iri(EX + "anc"), blank(str(i + 1))) for i in range(5)]
+    ds = build_dataset(spark, chain)
+    r = rule(
+        variables=3,
+        hypothesis=[
+            pat("+", v(0), iri(EX + "anc"), v(1)),
+            pat("+", v(1), iri(EX + "anc"), v(2)),
+        ],
+        statements=[stmt_triple("+", v(0), iri(EX + "anc"), v(2))],
+    )
+    sysm = System(spark, [r])
+    res = sysm.fixpoint(ds)
+    assert res.store.count() == 15  # C(6,2)
+    # idempotence: a second fixpoint over the closed graph adds nothing
+    from inferdf_rs_spark.engine import Dataset
+
+    res2 = sysm.fixpoint(Dataset(res.store, res.terms))
+    assert res2.rounds == 1 and res2.store.count() == 15
+
+
+def test_fixpoint_checkpoint_resume(spark, tmp_path):
+    # kill-and-resume between rounds (north_rule resumability)
+    chain = [(blank(str(i)), iri(EX + "anc"), blank(str(i + 1))) for i in range(5)]
+    ds = build_dataset(spark, chain)
+    r = rule(
+        variables=3,
+        hypothesis=[
+            pat("+", v(0), iri(EX + "anc"), v(1)),
+            pat("+", v(1), iri(EX + "anc"), v(2)),
+        ],
+        statements=[stmt_triple("+", v(0), iri(EX + "anc"), v(2))],
+    )
+    sysm = System(spark, [r])
+    d1 = str(tmp_path / "ckpt")
+    full = sysm.fixpoint(ds, checkpoint_dir=d1)
+    assert full.store.count() == 15
+
+    # simulate a crash after round 1: rewrite meta to round=1/not-done
+    import json, os
+
+    meta_path = os.path.join(d1, "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    assert meta["done"]
+    meta.update({"round": 1, "done": False, "metrics": meta["metrics"][:1]})
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+
+    resumed = sysm.fixpoint(ds, checkpoint_dir=d1)
+    assert resumed.store.count() == 15
+    assert resumed.rounds == full.rounds
+
+
+def test_rule_dedup(spark):
+    r = rule(
+        variables=2,
+        hypothesis=[pat("+", v(0), iri(EX + "p"), v(1))],
+        statements=[stmt_triple("+", v(0), iri(EX + "q"), v(1))],
+    )
+    sysm = System(spark, [r, r])
+    assert len(sysm.rules) == 1
