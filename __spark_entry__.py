@@ -1,38 +1,226 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps every implemented operator family from SURVEY.md §2
+(plus the training-data-pipeline operators) to a callable over the
+synthetic tables; ``oracle_sql()`` gives the DuckDB-equivalent SQL.
+Rule-engine queries run the full engine path: bulk xxhash64 dictionary
+encoding → pattern-scan/join cascade → conclusion eval → decode back to
+lexical strings, so the oracle validates semantics end-to-end.
+
+Non-SQL-expressible ops (LSH-bucketed ANN, multimodal stubs) have no
+oracle entry → driver records the weaker rows-only check.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from inferdf_rs_spark.pipelines import demo_queries as Q  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: one deduction round of the geo rule over sf0.001 —
+    dictionary-encode, conjunctive join, conclude, decode."""
+    return Q.q_deduce_geo(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # rule engine (reference parity ops)
+        "pattern_scan": Q.q_pattern_scan,
+        "pattern_scan_p_bound": Q.q_pattern_scan_p_bound,
+        "nonlinear_self": Q.q_nonlinear_self,
+        "conj_join": Q.q_conj_join,
+        "deduce_geo": Q.q_deduce_geo,
+        "antijoin_new_facts": Q.q_antijoin_new_facts,
+        "fixpoint_tc": Q.q_fixpoint_tc,
+        "compare_filter": Q.q_compare_filter,
+        "regex_filter": Q.q_regex_filter,
+        # dedup family
+        "exact_dedup": Q.q_exact_dedup,
+        "minhash_sig": Q.q_minhash_sig,
+        "lsh_buckets": Q.q_lsh_buckets,
+        "near_dup_pairs": Q.q_near_dup_pairs,
+        "simhash": Q.q_simhash,
+        "ngram_jaccard": Q.q_ngram_jaccard,
+        # text analysis
+        "token_count": Q.q_token_count,
+        "quality": Q.q_quality,
+        "lang_id": Q.q_lang_id,
+        "fingerprint": Q.q_fingerprint,
+        # similarity
+        "cosine_consecutive": Q.q_cosine_consecutive,
+        "ann_topk": Q.q_ann_topk,
+        "ann_lsh": Q.q_ann_lsh,  # approximate — rows-only check
+        # multimodal plumbing (stub decode) — rows-only checks
+        "multimodal_features": Q.q_multimodal_features,
+        "multimodal_frames": Q.q_multimodal_frames,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- oracles
+
+# shared DuckDB CTE fragments
+_TOKS4 = (
+    "toks AS (SELECT doc_id, unnest(list_distinct(list_filter("
+    "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) >= 4))) AS token "
+    "FROM documents)"
+)
+
+_TS = (
+    "ts AS (SELECT doc_id, list_filter("
+    "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks "
+    "FROM documents)"
+)
+
+
+def _shingles(k: int) -> str:
+    ends = {3: "len(toks)-1", 2: "len(toks)"}[k]
+    parts = " || ' ' || ".join(f"toks[i+{j}]" for j in range(k))
+    return (
+        f"sh AS (SELECT doc_id, CASE WHEN len(toks) >= {k} THEN "
+        f"list_distinct(list_transform(range(1, {ends}), i -> {parts})) "
+        f"ELSE [] END AS shingles FROM ts)"
+    )
+
+
+_MD5INT = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+_SIGS = (
+    "sigs AS (SELECT doc_id, list_transform(range(16), j -> "
+    "list_min(list_transform(shingles, g -> "
+    + _MD5INT.format(x="j || ':' || g")
+    + "))) AS sig FROM sh)"
+)
+
+_BANDS = (
+    "bands AS (SELECT doc_id, band, md5(array_to_string("
+    "list_transform(sig[band*4+1:band*4+4], x -> x::VARCHAR), ',')) AS bucket "
+    "FROM sigs CROSS JOIN (VALUES (0::BIGINT),(1),(2),(3)) b(band))"
+)
+
+
+def _dot(a: str, b: str) -> str:
+    return (
+        f"list_aggregate(list_transform(range(1, len({a})+1), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), 'sum')"
+    )
+
+
+def _cos(a: str, b: str) -> str:
+    return f"({_dot(a, b)} / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)})))"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    simhash_sums = ", ".join(
+        f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(16)
+    )
+    simhash_bits = " + ".join(f"(CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(16))
+
+    return {
+        "pattern_scan": f"WITH {_TOKS4} "
+        "SELECT 'doc://' || doc_id AS doc_iri FROM toks WHERE token = 'data'",
+        "pattern_scan_p_bound": "SELECT DISTINCT 'res://' || l_partkey AS s_iri, "
+        "'res://' || l_suppkey AS o_iri FROM lineitem",
+        "nonlinear_self": "SELECT DISTINCT 'res://' || l_partkey AS res_iri FROM lineitem "
+        "WHERE l_partkey = l_suppkey",
+        "conj_join": f"WITH {_TOKS4} "
+        "SELECT 'doc://' || doc_id AS doc_iri FROM toks WHERE token = 'data' "
+        "INTERSECT SELECT 'doc://' || doc_id FROM toks WHERE token = 'model'",
+        "deduce_geo": "SELECT 'cust://' || c_custkey AS cust_iri, "
+        "'region://' || n_regionkey AS region_iri "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey",
+        "antijoin_new_facts": "SELECT 'cust://' || c_custkey AS cust_iri, "
+        "'region://' || n_regionkey AS region_iri "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE c_custkey % 10 <> 0",
+        "fixpoint_tc": "WITH RECURSIVE e(a, b) AS ("
+        "SELECT n_nationkey, n_nationkey + 1 FROM nation "
+        "WHERE n_nationkey < (SELECT max(n_nationkey) FROM nation)), "
+        "tc(a, b) AS (SELECT a, b FROM e "
+        "UNION SELECT tc.a, e.b FROM tc JOIN e ON tc.b = e.a) "
+        "SELECT 'n://' || a AS a_iri, 'n://' || b AS b_iri FROM tc",
+        "compare_filter": "SELECT 'doc://' || doc_id AS doc_iri FROM documents "
+        "WHERE n_chars >= 300",
+        "regex_filter": f"WITH {_TOKS4} "
+        "SELECT DISTINCT 'doc://' || doc_id AS doc_iri FROM toks "
+        "WHERE regexp_matches(token, '^mod[a-z]*$')",
+        # ----- dedup
+        "exact_dedup": "SELECT doc_id, md5(text) AS dup_key, "
+        "count(*) OVER (PARTITION BY md5(text)) AS group_size, "
+        "(row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)) = 1 AS keep "
+        "FROM documents",
+        "minhash_sig": f"WITH {_TS}, {_shingles(3)} "
+        "SELECT doc_id, h.h_idx, list_min(list_transform(shingles, g -> "
+        + _MD5INT.format(x="h.h_idx || ':' || g")
+        + ")) AS minhash FROM sh CROSS JOIN (SELECT unnest(range(16)) AS h_idx) h",
+        "lsh_buckets": f"WITH {_TS}, {_shingles(3)}, {_SIGS}, {_BANDS} "
+        "SELECT doc_id, band, bucket FROM bands",
+        "near_dup_pairs": f"WITH {_TS}, {_shingles(3)}, {_SIGS}, {_BANDS}, "
+        "cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket "
+        "AND a.doc_id < b.doc_id), "
+        "ver AS (SELECT id_a, id_b, "
+        "len(list_intersect(sa.shingles, sb.shingles))::DOUBLE / "
+        "len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS j "
+        "FROM cands JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b) "
+        "SELECT id_a, id_b, floor(j * 1000000)::BIGINT AS jaccard_micro "
+        "FROM ver WHERE j >= 0.8",
+        "simhash": f"WITH {_TS}, "
+        "tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS t FROM ts), "
+        "h AS (SELECT doc_id, " + _MD5INT.format(x="t") + " AS hv FROM tok), "
+        f"per AS (SELECT doc_id, {simhash_sums} FROM h GROUP BY doc_id) "
+        f"SELECT doc_id, ({simhash_bits})::BIGINT AS simhash FROM per",
+        "ngram_jaccard": f"WITH {_TS}, {_shingles(2)} "
+        "SELECT a.doc_id, floor("
+        "len(list_intersect(a.shingles, b.shingles))::DOUBLE / "
+        "len(list_distinct(list_concat(a.shingles, b.shingles))) * 1000000)::BIGINT "
+        "AS jaccard_micro "
+        "FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 "
+        "WHERE len(list_distinct(list_concat(a.shingles, b.shingles))) > 0",
+        # ----- text analysis
+        "token_count": f"WITH {_TS} SELECT doc_id, len(toks) AS n_tokens FROM ts",
+        "quality": "SELECT doc_id, len(text) AS n_chars_m, "
+        "len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha, "
+        "len(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit, "
+        "len(regexp_replace(text, '[^ ]', '', 'g')) AS n_space, "
+        "len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS n_tokens, "
+        "CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) > 0 THEN "
+        "floor(list_aggregate(list_transform(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0), t -> len(t)), 'sum') * 1000 / "
+        "len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)))::BIGINT ELSE 0 END AS mean_tok_len_milli, "
+        "CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) > 0 THEN "
+        "floor(len(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0))) * 1000 / "
+        "len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)))::BIGINT ELSE 0 END AS distinct_ratio_milli "
+        "FROM documents",
+        "lang_id": f"WITH {_TS}, "
+        "c AS (SELECT doc_id, "
+        "len(list_filter(toks, x -> list_contains(['der','die','und','das','ein','ist'], x))) AS de, "
+        "len(list_filter(toks, x -> list_contains(['the','and','of','to','a','is'], x))) AS en, "
+        "len(list_filter(toks, x -> list_contains(['el','la','los','que','un','es'], x))) AS es, "
+        "len(list_filter(toks, x -> list_contains(['le','la','et','les','des','un'], x))) AS fr "
+        "FROM ts) "
+        "SELECT doc_id, CASE WHEN de >= en AND de >= es AND de >= fr THEN 'de' "
+        "WHEN en >= es AND en >= fr THEN 'en' WHEN es >= fr THEN 'es' ELSE 'fr' END AS pred_lang, "
+        "greatest(de, en, es, fr)::BIGINT AS marker_hits FROM c",
+        "fingerprint": "SELECT doc_id, "
+        "md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint FROM documents",
+        # ----- similarity
+        "cosine_consecutive": "SELECT a.vec_id, "
+        "floor(" + _cos("a.embedding", "b.embedding") + " * 1000000)::BIGINT AS cosine_micro "
+        "FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1",
+        "ann_topk": "WITH q AS (SELECT vec_id AS query_id, embedding AS qvec "
+        "FROM embeddings WHERE vec_id IN (0,1,2,3,4)), "
+        "scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+        + _cos("q.qvec", "e.embedding")
+        + " AS cos FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id), "
+        "r AS (SELECT query_id, neighbor_id, cos, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored) "
+        "SELECT query_id, neighbor_id, rank, floor(cos * 1000000)::BIGINT AS cosine_micro "
+        "FROM r WHERE rank <= 10",
+    }

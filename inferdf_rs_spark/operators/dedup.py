@@ -1,0 +1,192 @@
+"""Deduplication operators for web-scale corpus construction.
+
+Not part of the reference engine (it has no aggregations at all —
+SURVEY.md §2.10); these are the training-data-pipeline operators a
+100 TB Common-Crawl-style corpus needs before KG extraction.  All
+JVM-side (built-in functions only): hashing is md5-derived 60-bit ints
+so a DuckDB oracle can replicate results bit-for-bit.
+
+Scale notes:
+- exact dedup: one hash-partitioned groupBy on the digest (map-side
+  partial aggregation applies);
+- MinHash+LSH: O(n) signature computation per doc, candidate pairs only
+  from band-bucket collisions (self-join on the band key, never n²);
+- SimHash: O(n) bitwise aggregate per doc, no shuffle beyond the
+  initial token explode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def md5_int(col: Column) -> Column:
+    """Deterministic 60-bit int from md5 — reproducible in DuckDB as
+    ('0x' || substr(md5(x),1,15))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def norm_tokens(text: Column) -> Column:
+    """Lowercased alnum tokens, empties removed (order preserved)."""
+    return F.filter(F.split(F.lower(text), "[^a-z0-9]+"), lambda x: F.length(x) > 0)
+
+
+def word_shingles(tokens: Column, k: int) -> Column:
+    """Distinct k-word shingles of an ordered token array."""
+    n = F.size(tokens)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k)))
+    return F.when(n >= k, F.array_distinct(sh)).otherwise(F.array().cast("array<string>"))
+
+
+# ------------------------------------------------------------ exact
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content digest: rank within digest group, keep rank 1.
+
+    Returns (id, dup_key, group_size, keep)."""
+    w = Window.partitionBy("dup_key").orderBy(F.col(id_col))
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("dup_key"))
+        .withColumn("rnk", F.row_number().over(w))
+        .withColumn("group_size", F.count("*").over(Window.partitionBy("dup_key")))
+        .select(id_col, "dup_key", "group_size", (F.col("rnk") == 1).alias("keep"))
+    )
+
+
+# ------------------------------------------------------------ minhash
+
+
+def minhash_signature(shingles: Column, n_hashes: int) -> Column:
+    """MinHash signature: per seed j, min over shingles of
+    md5int(j || ':' || shingle).  Empty shingle set ⇒ nulls."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda g: md5_int(F.concat(F.lit(f"{j}:"), g))))
+            for j in range(n_hashes)
+        ]
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    shingle_words: int = 3,
+) -> DataFrame:
+    toks = norm_tokens(F.col(text_col))
+    return docs.select(
+        F.col(id_col),
+        minhash_signature(word_shingles(toks, shingle_words), n_hashes).alias("sig"),
+    )
+
+
+def lsh_bands(sigs: DataFrame, bands: int, n_hashes: int, id_col: str = "doc_id") -> DataFrame:
+    """Split signatures into bands; band key = md5 of the band slice.
+    (doc, band, bucket) rows — join on (band, bucket) for candidates."""
+    rows_per = n_hashes // bands
+    parts = []
+    for b in range(bands):
+        sl = F.slice(F.col("sig"), b * rows_per + 1, rows_per)
+        parts.append(
+            sigs.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", F.transform(sl, lambda x: x.cast("string")))).alias("bucket"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_words: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Candidate pairs from LSH band collisions, verified by exact
+    shingle-set Jaccard ≥ threshold.  Output (id_a, id_b, jaccard_micro)
+    with jaccard scaled to integer micro-units for engine-stable compare."""
+    toks = norm_tokens(F.col(text_col))
+    base = docs.select(
+        F.col(id_col),
+        word_shingles(toks, shingle_words).alias("shingles"),
+    )
+    sigs = base.select(id_col, minhash_signature(F.col("shingles"), n_hashes).alias("sig"))
+    bandsdf = lsh_bands(sigs, bands, n_hashes, id_col)
+    a = bandsdf.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = bandsdf.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    cands = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+    sa = base.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = base.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+        .withColumn("jaccard", F.col("inter") / F.col("uni"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select(
+        "id_a", "id_b", F.floor(F.col("jaccard") * 1e6).cast("long").alias("jaccard_micro")
+    )
+
+
+# ------------------------------------------------------------ simhash
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+    """SimHash over distinct tokens: bit b set iff sum of (±1 per token,
+    sign from token-hash bit b) is positive.  Output (id, simhash)."""
+    toks = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(norm_tokens(F.col(text_col)))).alias("tok")
+    ).withColumn("h", md5_int(F.col("tok")))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    per = toks.groupBy(id_col).agg(*aggs)
+    sh = F.lit(0).cast("long")
+    for b in range(bits):
+        sh = sh + F.when(F.col(f"s{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return per.select(F.col(id_col), sh.alias("simhash"))
+
+
+# ------------------------------------------------------------ n-gram jaccard
+
+
+def ngram_jaccard_consecutive(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_words: int = 2
+) -> DataFrame:
+    """Shingle-set Jaccard between each doc and its id-successor —
+    an O(n) oracle-checkable probe of the jaccard machinery."""
+    base = docs.select(
+        F.col(id_col),
+        word_shingles(norm_tokens(F.col(text_col)), shingle_words).alias("sh"),
+    )
+    nxt = base.select((F.col(id_col) - 1).alias(id_col), F.col("sh").alias("sh_next"))
+    return (
+        base.join(nxt, on=id_col)
+        .withColumn("inter", F.size(F.array_intersect("sh", "sh_next")))
+        .withColumn("uni", F.size(F.array_union("sh", "sh_next")))
+        .select(
+            id_col,
+            F.floor(F.col("inter") / F.col("uni") * 1e6).cast("long").alias("jaccard_micro"),
+        )
+    )

@@ -1,0 +1,286 @@
+"""Driver-contract queries: every SURVEY.md §2 operator expressed over the
+synthetic testdata, each with a DuckDB-SQL-reproducible output shape.
+
+The rule-engine queries go through the full engine path — bulk
+dictionary encoding → pattern scans → join cascades → conclusion eval →
+decode back to lexical strings — so the oracle checks the *semantics*,
+not just the SQL translation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..engine import Dataset, System
+from ..operators import dedup, similarity, textstats
+from ..operators.expr import ExprCompiler, join_facets, statement_facet_vars
+from ..operators.match import find_substitutions
+from ..rules import call, dec, iri, lit, pat, regex, rule, stmt_triple, stmt_true, v
+from ..schemas import VT_BOOL
+from ..terms import encode_terms, resource_facets
+from . import kg_demo
+from .kg_demo import KG, decode_col, load
+
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+# ------------------------------------------------------------ rule engine
+
+
+def q_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/P1: constant-object pattern scan — docs mentioning 'data'."""
+    ds = kg_demo.mentions_dataset(spark, sf_dir)
+    r = rule(
+        variables=1,
+        hypothesis=[pat("+", v(0), iri(KG + "mentions"), lit("data"))],
+        statements=[stmt_triple("+", v(0), iri(KG + "mentions"), lit("data"))],
+    )
+    cids = encode_terms(spark, r.constants())
+    subst = find_substitutions(ds.triples, r, cids)
+    return decode_col(subst, ds.terms, "v0", "doc_iri")
+
+
+def q_pattern_scan_p_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 common case: predicate-bound scan over (part, kg:rel, supp)."""
+    ds = kg_demo.lineitem_rel_dataset(spark, sf_dir)
+    r = rule(
+        variables=2,
+        hypothesis=[pat("+", v(0), iri(KG + "rel"), v(1))],
+        statements=[stmt_triple("+", v(0), iri(KG + "rel"), v(1))],
+    )
+    cids = encode_terms(spark, r.constants())
+    subst = find_substitutions(ds.triples, r, cids)
+    out = decode_col(subst, ds.terms, "v0", "s_iri")
+    return decode_col(out, ds.terms, "v1", "o_iri")
+
+
+def q_nonlinear_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: non-linear pattern ?x kg:rel ?x (intra-row equality)."""
+    ds = kg_demo.lineitem_rel_dataset(spark, sf_dir)
+    r = rule(
+        variables=1,
+        hypothesis=[pat("+", v(0), iri(KG + "rel"), v(0))],
+        statements=[stmt_triple("+", v(0), iri(KG + "rel"), v(0))],
+    )
+    cids = encode_terms(spark, r.constants())
+    subst = find_substitutions(ds.triples, r, cids)
+    return decode_col(subst, ds.terms, "v0", "res_iri")
+
+
+def q_conj_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/P3: conjunctive hypothesis join on a shared variable."""
+    ds = kg_demo.mentions_dataset(spark, sf_dir)
+    r = rule(
+        variables=1,
+        hypothesis=[
+            pat("+", v(0), iri(KG + "mentions"), lit("data")),
+            pat("+", v(0), iri(KG + "mentions"), lit("model")),
+        ],
+        statements=[stmt_triple("+", v(0), iri(KG + "mentions"), lit("data"))],
+    )
+    cids = encode_terms(spark, r.constants())
+    subst = find_substitutions(ds.triples, r, cids)
+    return decode_col(subst, ds.terms, "v0", "doc_iri")
+
+
+def _geo_rule():
+    # {?c kg:from ?n . ?n kg:in ?r} => {?c kg:locatedIn ?r}
+    return rule(
+        variables=3,
+        hypothesis=[
+            pat("+", v(0), iri(KG + "from"), v(1)),
+            pat("+", v(1), iri(KG + "in"), v(2)),
+        ],
+        statements=[stmt_triple("+", v(0), iri(KG + "locatedIn"), v(2))],
+    )
+
+
+def q_deduce_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2/P4: one deduction round — customer locatedIn region."""
+    ds = kg_demo.geo_dataset(spark, sf_dir)
+    sysm = System(spark, [_geo_rule()])
+    out = sysm.deduce(ds).triples
+    terms = ds.terms.unionByName(sysm.rule_constants_terms()).dropDuplicates(["term_id"])
+    out = decode_col(out.select("s", "o"), terms, "s", "cust_iri")
+    return decode_col(out, terms, "o", "region_iri")
+
+
+def q_antijoin_new_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4/J4: deduced ∖ stated — only customers whose locatedIn was not
+    pre-seeded (custkey % 10 == 0 are pre-stated)."""
+    ds = kg_demo.geo_dataset(spark, sf_dir)
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    seeded = (
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .join(nat, cust.c_nationkey == nat.n_nationkey)
+        .select(
+            F.concat(F.lit("cust://"), F.col("c_custkey")).alias("s_lex"),
+            F.lit(KG + "locatedIn").alias("p_lex"),
+            F.concat(F.lit("region://"), F.col("n_regionkey")).alias("o_lex"),
+        )
+    )
+    seeded_ds = kg_demo._edges_to_dataset(spark, kg_demo._iri_obj(seeded))
+    store = Dataset(
+        ds.triples.unionByName(seeded_ds.triples),
+        ds.terms.unionByName(seeded_ds.terms).dropDuplicates(["term_id"]),
+    )
+    sysm = System(spark, [_geo_rule()])
+    deduced = sysm.deduce(store).triples
+    new = deduced.join(store.triples.select("s", "p", "o", "sign"), on=["s", "p", "o", "sign"], how="left_anti")
+    terms = store.terms.unionByName(sysm.rule_constants_terms()).dropDuplicates(["term_id"])
+    out = decode_col(new.select("s", "o"), terms, "s", "cust_iri")
+    return decode_col(out, terms, "o", "region_iri")
+
+
+def q_fixpoint_tc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: semi-naive fixpoint — transitive closure of the nation chain."""
+    ds = kg_demo.chain_dataset(spark, sf_dir)
+    r = rule(
+        variables=3,
+        hypothesis=[
+            pat("+", v(0), iri(KG + "next"), v(1)),
+            pat("+", v(1), iri(KG + "next"), v(2)),
+        ],
+        statements=[stmt_triple("+", v(0), iri(KG + "next"), v(2))],
+    )
+    sysm = System(spark, [r])
+    res = sysm.fixpoint(ds)
+    terms = res.terms.unionByName(sysm.rule_constants_terms()).dropDuplicates(["term_id"])
+    out = decode_col(res.store.select("s", "o"), terms, "s", "a_iri")
+    return decode_col(out, terms, "o", "b_iri")
+
+
+def q_compare_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/F5/F9: typed decimal comparison over literal facets —
+    docs with n_chars >= 300 via the expression compiler."""
+    ds = kg_demo.nchars_dataset(spark, sf_dir)
+    r = rule(
+        variables=2,
+        hypothesis=[pat("+", v(0), iri(KG + "n_chars"), v(1))],
+        statements=[stmt_true("+", call("geq", v(1), dec(300)))],
+    )
+    cids = encode_terms(spark, r.constants())
+    subst = find_substitutions(ds.triples, r, cids)
+    facet_vars = statement_facet_vars(r.conclusion.statements)
+    subst = join_facets(subst, resource_facets(ds.terms), facet_vars)
+    comp = ExprCompiler(cids, facet_vars)
+    cv = comp.compile(r.conclusion.statements[0].stmt.e)
+    kept = subst.filter((cv.err == 0) & F.coalesce(cv.b, F.lit(False)) & (cv.vtype == VT_BOOL))
+    return decode_col(kept.select("v0"), ds.terms, "v0", "doc_iri")
+
+
+def q_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: Matches over literal lexical forms — docs with a token
+    matching ^mod[a-z]*$ (RE2/Rust/Java-common regex subset)."""
+    ds = kg_demo.mentions_dataset(spark, sf_dir)
+    r = rule(
+        variables=2,
+        hypothesis=[pat("+", v(0), iri(KG + "mentions"), v(1))],
+        statements=[stmt_true("+", call("matches", regex("^mod[a-z]*$"), v(1)))],
+    )
+    cids = encode_terms(spark, r.constants())
+    subst = find_substitutions(ds.triples, r, cids)
+    facet_vars = statement_facet_vars(r.conclusion.statements)
+    subst = join_facets(subst, resource_facets(ds.terms), facet_vars)
+    comp = ExprCompiler(cids, facet_vars)
+    cv = comp.compile(r.conclusion.statements[0].stmt.e)
+    kept = subst.filter((cv.err == 0) & F.coalesce(cv.b, F.lit(False)))
+    return decode_col(kept.select("v0").dropDuplicates(), ds.terms, "v0", "doc_iri")
+
+
+# ------------------------------------------------------------ corpus ops
+
+
+def q_exact_dedup(spark, sf_dir):
+    return dedup.exact_dedup(load(spark, sf_dir, "documents")).withColumn(
+        "group_size", F.col("group_size").cast("long")
+    )
+
+
+def q_minhash_sig(spark, sf_dir):
+    sigs = dedup.minhash_signatures(load(spark, sf_dir, "documents"), n_hashes=16, shingle_words=3)
+    return sigs.select(
+        "doc_id", F.posexplode("sig").alias("h_idx", "minhash")
+    ).withColumn("h_idx", F.col("h_idx").cast("long"))
+
+
+def q_lsh_buckets(spark, sf_dir):
+    sigs = dedup.minhash_signatures(load(spark, sf_dir, "documents"), n_hashes=16, shingle_words=3)
+    return dedup.lsh_bands(sigs, bands=4, n_hashes=16).withColumn("band", F.col("band").cast("long"))
+
+
+def q_near_dup_pairs(spark, sf_dir):
+    return dedup.minhash_near_dup_pairs(
+        load(spark, sf_dir, "documents"), n_hashes=16, bands=4, shingle_words=3, threshold=0.8
+    )
+
+
+def q_simhash(spark, sf_dir):
+    return dedup.simhash(load(spark, sf_dir, "documents"), bits=16)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_consecutive(load(spark, sf_dir, "documents"), shingle_words=2)
+
+
+def q_token_count(spark, sf_dir):
+    return textstats.token_count(load(spark, sf_dir, "documents")).withColumn(
+        "n_tokens", F.col("n_tokens").cast("long")
+    )
+
+
+def q_quality(spark, sf_dir):
+    out = textstats.quality_features(load(spark, sf_dir, "documents"))
+    for c in ("n_chars_m", "n_alpha", "n_digit", "n_space", "n_tokens"):
+        out = out.withColumn(c, F.col(c).cast("long"))
+    return out
+
+
+def q_lang_id(spark, sf_dir):
+    return textstats.lang_id(load(spark, sf_dir, "documents")).withColumn(
+        "marker_hits", F.col("marker_hits").cast("long")
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    return textstats.fingerprint(load(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------------ similarity
+
+
+def q_cosine_consecutive(spark, sf_dir):
+    return similarity.cosine_consecutive(load(spark, sf_dir, "embeddings"))
+
+
+def q_ann_topk(spark, sf_dir):
+    out = similarity.brute_force_topk(load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_ann_lsh(spark, sf_dir):
+    out = similarity.lsh_bucket_ann(load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ------------------------------------------------------------ multimodal
+
+
+def q_multimodal_features(spark, sf_dir):
+    from ..operators import multimodal
+
+    media = multimodal.synth_media(spark, load(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media).drop("feat").withColumn(
+        "n_bytes", F.col("n_bytes").cast("long")
+    )
+
+
+def q_multimodal_frames(spark, sf_dir):
+    from ..operators import multimodal
+
+    media = multimodal.synth_media(spark, load(spark, sf_dir, "documents"))
+    return multimodal.sample_frames(media).withColumn("frame_idx", F.col("frame_idx").cast("long")).withColumn(
+        "ts_ms", F.col("ts_ms").cast("long")
+    )
