@@ -92,11 +92,16 @@ def _shingles(k: int) -> str:
 
 _MD5INT = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
+# minhash j = 32-bit window (j%4) of md5((j//4) || ':' || shingle)
+_MINHASH_J = (
+    "list_min(list_transform(shingles, g -> "
+    "('0x' || substr(md5(({s}) || ':' || g), ({w}) * 8 + 1, 8))::BIGINT))"
+)
+
 _SIGS = (
     "sigs AS (SELECT doc_id, list_transform(range(16), j -> "
-    "list_min(list_transform(shingles, g -> "
-    + _MD5INT.format(x="j || ':' || g")
-    + "))) AS sig FROM sh)"
+    + _MINHASH_J.format(s="j // 4", w="j % 4")
+    + ") AS sig FROM sh)"
 )
 
 _BANDS = (
@@ -157,9 +162,9 @@ def oracle_sql() -> dict[str, str]:
         "(row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)) = 1 AS keep "
         "FROM documents",
         "minhash_sig": f"WITH {_TS}, {_shingles(3)} "
-        "SELECT doc_id, h.h_idx, list_min(list_transform(shingles, g -> "
-        + _MD5INT.format(x="h.h_idx || ':' || g")
-        + ")) AS minhash FROM sh CROSS JOIN (SELECT unnest(range(16)) AS h_idx) h",
+        "SELECT doc_id, h.h_idx, "
+        + _MINHASH_J.format(s="h.h_idx // 4", w="h.h_idx % 4")
+        + " AS minhash FROM sh CROSS JOIN (SELECT unnest(range(16)) AS h_idx) h",
         "lsh_buckets": f"WITH {_TS}, {_shingles(3)}, {_SIGS}, {_BANDS} "
         "SELECT doc_id, band, bucket FROM bands",
         "near_dup_pairs": f"WITH {_TS}, {_shingles(3)}, {_SIGS}, {_BANDS}, "

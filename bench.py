@@ -1,0 +1,92 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Every query is forced through the noop sink (full computation, no
+column-pruned shortcut counts).  ``docs_per_sec`` reports extraction+
+pipeline throughput on the documents table (the north-star unit).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from inferdf_rs_spark.pipelines import demo_queries as Q  # noqa: E402
+from inferdf_rs_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    ("pattern_scan", Q.q_pattern_scan),
+    ("conj_join", Q.q_conj_join),
+    ("deduce_geo", Q.q_deduce_geo),
+    ("antijoin_new_facts", Q.q_antijoin_new_facts),
+    ("fixpoint_tc", Q.q_fixpoint_tc),
+    ("compare_filter", Q.q_compare_filter),
+    ("regex_filter", Q.q_regex_filter),
+    ("exact_dedup", Q.q_exact_dedup),
+    ("near_dup_pairs", Q.q_near_dup_pairs),
+    ("simhash", Q.q_simhash),
+    ("token_count", Q.q_token_count),
+    ("lang_id", Q.q_lang_id),
+    ("ann_topk", Q.q_ann_topk),
+    ("ann_lsh", Q.q_ann_lsh),
+    ("multimodal_features", Q.q_multimodal_features),
+]
+
+
+def run_noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="inferdf_bench")
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    per_query: dict[str, float] = {}
+    t_total0 = time.perf_counter()
+    for name, fn in HEADLINE:
+        t0 = time.perf_counter()
+        run_noop(fn(spark, sf_dir))
+        per_query[name] = round(time.perf_counter() - t0, 3)
+    total = time.perf_counter() - t_total0
+
+    # docs/sec over the document-centric pipeline stages (extraction-side
+    # ops: dedup + text stats + mentions-KG build+scan)
+    doc_queries = [
+        "pattern_scan",
+        "conj_join",
+        "exact_dedup",
+        "near_dup_pairs",
+        "simhash",
+        "token_count",
+        "lang_id",
+        "multimodal_features",
+    ]
+    doc_sec = sum(per_query[q] for q in doc_queries)
+    docs_per_sec = round(n_docs * len(doc_queries) / doc_sec, 1) if doc_sec else None
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf),
+                "n_docs": n_docs,
+                "docs_per_sec": docs_per_sec,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

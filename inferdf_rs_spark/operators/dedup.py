@@ -59,17 +59,6 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 # ------------------------------------------------------------ minhash
 
 
-def minhash_signature(shingles: Column, n_hashes: int) -> Column:
-    """MinHash signature: per seed j, min over shingles of
-    md5int(j || ':' || shingle).  Empty shingle set ⇒ nulls."""
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda g: md5_int(F.concat(F.lit(f"{j}:"), g))))
-            for j in range(n_hashes)
-        ]
-    )
-
-
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
@@ -77,10 +66,36 @@ def minhash_signatures(
     n_hashes: int = 16,
     shingle_words: int = 3,
 ) -> DataFrame:
+    """MinHash signatures, 4 hashes per md5 digest: hash j = the 32-bit
+    hex window ``(j%4)`` of ``md5((j//4) || ':' || shingle)`` — 4x fewer
+    digest computations than one md5 per hash; windows of one digest are
+    independent bits.
+
+    Physical shape: explode shingles -> one md5 per (row, seed group) ->
+    16 ``min`` aggregates with map-side partial aggregation, so the
+    shuffle carries only per-partition minima per doc.  Docs with no
+    shingles get an all-null signature."""
+    assert n_hashes % 4 == 0, "n_hashes must be a multiple of 4"
     toks = norm_tokens(F.col(text_col))
-    return docs.select(
-        F.col(id_col),
-        minhash_signature(word_shingles(toks, shingle_words), n_hashes).alias("sig"),
+    ex = docs.select(
+        F.col(id_col), F.explode(word_shingles(toks, shingle_words)).alias("g")
+    )
+    for s in range(n_hashes // 4):
+        ex = ex.withColumn(f"_m{s}", F.md5(F.concat(F.lit(f"{s}:"), F.col("g"))))
+    hs = [
+        F.conv(F.substring(F.col(f"_m{j // 4}"), (j % 4) * 8 + 1, 8), 16, 10)
+        .cast("long")
+        .alias(f"h{j}")
+        for j in range(n_hashes)
+    ]
+    agg = (
+        ex.select(id_col, *hs)
+        .groupBy(id_col)
+        .agg(*[F.min(f"h{j}").alias(f"h{j}") for j in range(n_hashes)])
+    )
+    full = docs.select(id_col).join(agg, on=id_col, how="left")
+    return full.select(
+        F.col(id_col), F.array(*[F.col(f"h{j}") for j in range(n_hashes)]).alias("sig")
     )
 
 
@@ -117,12 +132,15 @@ def minhash_near_dup_pairs(
     shingle-set Jaccard ≥ threshold.  Output (id_a, id_b, jaccard_micro)
     with jaccard scaled to integer micro-units for engine-stable compare."""
     toks = norm_tokens(F.col(text_col))
+    # persist: shingle arrays feed both the signature pass and the verify
+    # join, and the band table self-joins — without caching each side of
+    # the self-join would recompute every md5
     base = docs.select(
         F.col(id_col),
         word_shingles(toks, shingle_words).alias("shingles"),
-    )
-    sigs = base.select(id_col, minhash_signature(F.col("shingles"), n_hashes).alias("sig"))
-    bandsdf = lsh_bands(sigs, bands, n_hashes, id_col)
+    ).persist()
+    sigs = minhash_signatures(docs, text_col, id_col, n_hashes, shingle_words)
+    bandsdf = lsh_bands(sigs, bands, n_hashes, id_col).persist()
     a = bandsdf.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = bandsdf.select(F.col(id_col).alias("id_b"), "band", "bucket")
     cands = (

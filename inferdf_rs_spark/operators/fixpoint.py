@@ -144,7 +144,7 @@ def fixpoint(
     while rnd < max_rounds:
         rnd += 1
         c = _deduce_round(spark, store, terms, rules, const_ids, delta, rnd, functions)
-        if strict_errors:
+        if strict_errors and any(r.has_expressions() for r in rules):
             bad = c.errors.limit(1).collect()
             if bad:
                 raise ExpressionError(f"expression error in round {rnd}: {bad[0].asDict()}")
@@ -157,28 +157,46 @@ def fixpoint(
         )
         n_new = new.count()
 
-        new_terms = (
-            c.new_terms.join(terms.select("term_id"), on="term_id", how="left_anti")
-            .dropDuplicates(["term_id"])
-            .localCheckpoint(eager=True)
-        )
-        round_eqs = c.eqs.dropDuplicates().localCheckpoint(eager=True)
-        round_trues = c.trues.dropDuplicates().localCheckpoint(eager=True)
-        eqs = eqs.unionByName(round_eqs).dropDuplicates()
-        trues = trues.unionByName(round_trues).dropDuplicates()
+        # static rule analysis: skip side-channel actions (term minting,
+        # Eq/True accumulation) when no rule can produce them — saves
+        # several Spark jobs per round on projection-only rule systems
+        any_mints = any(r.mints_terms() for r in rules)
+        any_eqs = any(r.has_eq_statements() for r in rules)
+        any_trues = any(r.has_true_statements() for r in rules)
+
+        new_terms = spark.createDataFrame([], TERMS_SCHEMA)
+        if any_mints:
+            new_terms = (
+                c.new_terms.join(terms.select("term_id"), on="term_id", how="left_anti")
+                .dropDuplicates(["term_id"])
+                .localCheckpoint(eager=True)
+            )
+        round_eqs = c.eqs.dropDuplicates()
+        round_trues = c.trues.dropDuplicates()
+        if any_eqs:
+            round_eqs = round_eqs.localCheckpoint(eager=True)
+            eqs = eqs.unionByName(round_eqs).dropDuplicates()
+        if any_trues:
+            round_trues = round_trues.localCheckpoint(eager=True)
+            trues = trues.unionByName(round_trues).dropDuplicates()
 
         metrics.append({"round": rnd, "new_facts": n_new})
         done = n_new == 0
 
         if checkpoint_dir:
             new.write.mode("overwrite").parquet(os.path.join(checkpoint_dir, f"delta/round={rnd}"))
-            new_terms.write.mode("overwrite").parquet(
-                os.path.join(checkpoint_dir, f"new_terms/round={rnd}")
-            )
-            round_eqs.write.mode("overwrite").parquet(os.path.join(checkpoint_dir, f"eqs/round={rnd}"))
-            round_trues.write.mode("overwrite").parquet(
-                os.path.join(checkpoint_dir, f"trues/round={rnd}")
-            )
+            if any_mints:
+                new_terms.write.mode("overwrite").parquet(
+                    os.path.join(checkpoint_dir, f"new_terms/round={rnd}")
+                )
+            if any_eqs:
+                round_eqs.write.mode("overwrite").parquet(
+                    os.path.join(checkpoint_dir, f"eqs/round={rnd}")
+                )
+            if any_trues:
+                round_trues.write.mode("overwrite").parquet(
+                    os.path.join(checkpoint_dir, f"trues/round={rnd}")
+                )
             _write_meta(checkpoint_dir, {"round": rnd, "done": done, "metrics": metrics})
 
         if done:
@@ -207,10 +225,14 @@ def load_checkpoint(spark: SparkSession, checkpoint_dir: str):
     for k in range(1, meta["round"] + 1):
         d = spark.read.schema(TRIPLES_SCHEMA).parquet(os.path.join(checkpoint_dir, f"delta/round={k}"))
         store = store.unionByName(d)
-        terms = terms.unionByName(
-            spark.read.schema(TERMS_SCHEMA).parquet(os.path.join(checkpoint_dir, f"new_terms/round={k}"))
-        )
-        eqs = eqs.unionByName(spark.read.parquet(os.path.join(checkpoint_dir, f"eqs/round={k}")))
-        trues = trues.unionByName(spark.read.parquet(os.path.join(checkpoint_dir, f"trues/round={k}")))
+        tdir = os.path.join(checkpoint_dir, f"new_terms/round={k}")
+        if os.path.isdir(tdir):
+            terms = terms.unionByName(spark.read.schema(TERMS_SCHEMA).parquet(tdir))
+        edir = os.path.join(checkpoint_dir, f"eqs/round={k}")
+        if os.path.isdir(edir):
+            eqs = eqs.unionByName(spark.read.parquet(edir))
+        trdir = os.path.join(checkpoint_dir, f"trues/round={k}")
+        if os.path.isdir(trdir):
+            trues = trues.unionByName(spark.read.parquet(trdir))
         delta = d
     return store, terms, delta, eqs.dropDuplicates(), trues.dropDuplicates(), meta.get("metrics", [])

@@ -163,6 +163,49 @@ class Rule:
                 walk(s.e)
         return out
 
+    def mints_terms(self) -> bool:
+        """True if evaluating this rule can add dictionary entries: it has
+        existential variables (fresh blanks) or a non-resource expression
+        in a statement position (interned computed literal)."""
+        if self.conclusion.variables > 0:
+            return True
+
+        def computed(e) -> bool:
+            return isinstance(e, (Lit, Call))
+
+        for st in self.conclusion.statements:
+            s = st.stmt
+            if isinstance(s, TripleStmt) and any(map(computed, (s.s, s.p, s.o))):
+                return True
+            if isinstance(s, EqStmt) and any(map(computed, (s.a, s.b))):
+                return True
+            if isinstance(s, TrueStmt) and computed(s.e):
+                return True
+        return False
+
+    def has_expressions(self) -> bool:
+        """True if any statement contains a Call or expression literal —
+        i.e. evaluation can produce expression errors."""
+
+        def computed(e) -> bool:
+            return isinstance(e, (Lit, Call))
+
+        for st in self.conclusion.statements:
+            s = st.stmt
+            if isinstance(s, TripleStmt) and any(map(computed, (s.s, s.p, s.o))):
+                return True
+            if isinstance(s, EqStmt) and any(map(computed, (s.a, s.b))):
+                return True
+            if isinstance(s, TrueStmt) and computed(s.e):
+                return True
+        return False
+
+    def has_eq_statements(self) -> bool:
+        return any(isinstance(st.stmt, EqStmt) for st in self.conclusion.statements)
+
+    def has_true_statements(self) -> bool:
+        return any(isinstance(st.stmt, TrueStmt) for st in self.conclusion.statements)
+
     def validate(self) -> None:
         """Load-time variable sanity (the reference panics at eval time on
         an unbound conclusion var — src/system/deduction.rs:234 unwrap)."""
