@@ -1,0 +1,60 @@
+"""Bulk dataset encoding: raw lexical edge tables → (triples, terms).
+
+The distributed form of the reference's interpretation insertion
+(caller-side ``insert`` of stated facts, src/lib.rs:66,
+src/dataset.rs:106-108): every term is hashed to its id in one map-only
+pass (no sequential interner), the dictionary is the distinct union of
+the three term positions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .engine import Dataset
+from .schemas import CAUSE_STATED, KIND_IRI
+from .terms import term_id_col
+
+
+def encode_edges(spark: SparkSession, edges: DataFrame, src_partition: str = "stated") -> Dataset:
+    """Encode an edge DataFrame into a (triples, terms) Dataset.
+
+    ``edges`` columns: ``s_lex`` (iri), ``p_lex`` (iri), ``o_kind``,
+    ``o_lex``, ``o_dt`` (datatype for literal objects, null otherwise).
+    """
+    null_s = F.lit(None).cast("string")
+    terms = (
+        edges.select(F.lit(KIND_IRI).alias("kind"), F.col("s_lex").alias("lexical"), null_s.alias("datatype"))
+        .unionByName(
+            edges.select(F.lit(KIND_IRI).alias("kind"), F.col("p_lex").alias("lexical"), null_s.alias("datatype"))
+        )
+        .unionByName(
+            edges.select(F.col("o_kind").alias("kind"), F.col("o_lex").alias("lexical"), F.col("o_dt").alias("datatype"))
+        )
+        .dropDuplicates()
+        .select(
+            term_id_col(F.col("kind"), F.col("lexical"), F.col("datatype"), null_s).alias("term_id"),
+            "kind",
+            "lexical",
+            "datatype",
+            null_s.alias("lang"),
+        )
+    )
+    triples = edges.select(
+        term_id_col(F.lit(KIND_IRI), F.col("s_lex"), null_s, null_s).alias("s"),
+        term_id_col(F.lit(KIND_IRI), F.col("p_lex"), null_s, null_s).alias("p"),
+        term_id_col(F.col("o_kind"), F.col("o_lex"), F.col("o_dt"), null_s).alias("o"),
+        F.lit(True).alias("sign"),
+        F.lit(CAUSE_STATED).alias("cause_kind"),
+        F.lit(None).cast("long").alias("rule_id"),
+        F.lit(None).cast("long").alias("subst_hash"),
+        F.lit(0).alias("round"),
+        F.lit(src_partition).alias("src_partition"),
+    )
+    return Dataset(triples, terms)
+
+
+def iri_edges(edges: DataFrame) -> DataFrame:
+    """Mark the object column of an (s_lex, p_lex, o_lex) table as IRIs."""
+    return edges.withColumn("o_kind", F.lit(KIND_IRI)).withColumn("o_dt", F.lit(None).cast("string"))

@@ -121,7 +121,9 @@ def q_antijoin_new_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("region://"), F.col("n_regionkey")).alias("o_lex"),
         )
     )
-    seeded_ds = kg_demo._edges_to_dataset(spark, kg_demo._iri_obj(seeded))
+    from ..encode import encode_edges, iri_edges
+
+    seeded_ds = encode_edges(spark, iri_edges(seeded))
     store = Dataset(
         ds.triples.unionByName(seeded_ds.triples),
         ds.terms.unionByName(seeded_ds.terms).dropDuplicates(["term_id"]),

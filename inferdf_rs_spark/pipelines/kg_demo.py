@@ -15,9 +15,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..encode import encode_edges as encode_edges, iri_edges
 from ..engine import Dataset
-from ..schemas import CAUSE_STATED, KIND_IRI, KIND_LITERAL, XSD
-from ..terms import term_id_col
+from ..schemas import KIND_LITERAL, XSD
 
 KG = "kg:"
 TOKEN_SPLIT = "[^a-z0-9]+"
@@ -38,43 +38,6 @@ def doc_tokens(docs: DataFrame, min_len: int = 1) -> DataFrame:
     )
 
 
-def _edges_to_dataset(spark: SparkSession, edges: DataFrame) -> Dataset:
-    """Encode an edge DataFrame into a (triples, terms) Dataset.
-
-    ``edges`` columns: s_lex (iri), p_lex (iri), o_kind, o_lex, o_dt.
-    """
-    null_s = F.lit(None).cast("string")
-    terms = (
-        edges.select(F.lit(KIND_IRI).alias("kind"), F.col("s_lex").alias("lexical"), null_s.alias("datatype"))
-        .unionByName(edges.select(F.lit(KIND_IRI).alias("kind"), F.col("p_lex").alias("lexical"), null_s.alias("datatype")))
-        .unionByName(edges.select(F.col("o_kind").alias("kind"), F.col("o_lex").alias("lexical"), F.col("o_dt").alias("datatype")))
-        .dropDuplicates()
-        .select(
-            term_id_col(F.col("kind"), F.col("lexical"), F.col("datatype"), null_s).alias("term_id"),
-            "kind",
-            "lexical",
-            "datatype",
-            null_s.alias("lang"),
-        )
-    )
-    triples = edges.select(
-        term_id_col(F.lit(KIND_IRI), F.col("s_lex"), null_s, null_s).alias("s"),
-        term_id_col(F.lit(KIND_IRI), F.col("p_lex"), null_s, null_s).alias("p"),
-        term_id_col(F.col("o_kind"), F.col("o_lex"), F.col("o_dt"), null_s).alias("o"),
-        F.lit(True).alias("sign"),
-        F.lit(CAUSE_STATED).alias("cause_kind"),
-        F.lit(None).cast("long").alias("rule_id"),
-        F.lit(None).cast("long").alias("subst_hash"),
-        F.lit(0).alias("round"),
-        F.lit("stated").alias("src_partition"),
-    )
-    return Dataset(triples, terms)
-
-
-def _iri_obj(edges: DataFrame) -> DataFrame:
-    return edges.withColumn("o_kind", F.lit(KIND_IRI)).withColumn("o_dt", F.lit(None).cast("string"))
-
-
 def mentions_dataset(spark: SparkSession, sf_dir: str, min_token_len: int = 4) -> Dataset:
     """(doc://id, kg:mentions, "token"^^xsd:string) triples."""
     toks = doc_tokens(load(spark, sf_dir, "documents"), min_token_len)
@@ -85,7 +48,7 @@ def mentions_dataset(spark: SparkSession, sf_dir: str, min_token_len: int = 4) -
         F.col("token").alias("o_lex"),
         F.lit(XSD + "string").alias("o_dt"),
     )
-    return _edges_to_dataset(spark, edges)
+    return encode_edges(spark, edges)
 
 
 def nchars_dataset(spark: SparkSession, sf_dir: str) -> Dataset:
@@ -98,7 +61,7 @@ def nchars_dataset(spark: SparkSession, sf_dir: str) -> Dataset:
         F.col("n_chars").cast("string").alias("o_lex"),
         F.lit(XSD + "long").alias("o_dt"),
     )
-    return _edges_to_dataset(spark, edges)
+    return encode_edges(spark, edges)
 
 
 def geo_dataset(spark: SparkSession, sf_dir: str) -> Dataset:
@@ -115,7 +78,7 @@ def geo_dataset(spark: SparkSession, sf_dir: str) -> Dataset:
         F.lit(KG + "in").alias("p_lex"),
         F.concat(F.lit("region://"), F.col("n_regionkey")).alias("o_lex"),
     )
-    return _edges_to_dataset(spark, _iri_obj(e1.unionByName(e2)))
+    return encode_edges(spark, iri_edges(e1.unionByName(e2)))
 
 
 def chain_dataset(spark: SparkSession, sf_dir: str) -> Dataset:
@@ -127,7 +90,7 @@ def chain_dataset(spark: SparkSession, sf_dir: str) -> Dataset:
         F.lit(KG + "next").alias("p_lex"),
         F.concat(F.lit("n://"), F.col("n_nationkey") + 1).alias("o_lex"),
     )
-    return _edges_to_dataset(spark, _iri_obj(edges))
+    return encode_edges(spark, iri_edges(edges))
 
 
 def lineitem_rel_dataset(spark: SparkSession, sf_dir: str) -> Dataset:
@@ -138,7 +101,7 @@ def lineitem_rel_dataset(spark: SparkSession, sf_dir: str) -> Dataset:
         F.lit(KG + "rel").alias("p_lex"),
         F.concat(F.lit("res://"), F.col("l_suppkey")).alias("o_lex"),
     ).dropDuplicates()
-    return _edges_to_dataset(spark, _iri_obj(edges))
+    return encode_edges(spark, iri_edges(edges))
 
 
 def decode_col(df: DataFrame, terms: DataFrame, id_col: str, out_col: str) -> DataFrame:

@@ -1,0 +1,138 @@
+"""End-to-end north-rule pipeline tests: extraction fidelity, deterministic
+entity linking, and a golden P/R harness over the synthesized pages."""
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from inferdf_rs_spark.extraction import synth
+from inferdf_rs_spark.extraction.extract import extract_text, link_mentions, verify_fidelity
+from inferdf_rs_spark.pipelines import webkg
+from inferdf_rs_spark.schemas import KIND_IRI, RDF_TYPE
+from inferdf_rs_spark.terms import decode_triples
+
+N_PAGES = 60
+
+
+def gold_mentions(n_pages):
+    """Driver-side replica of synthesis + detection + linking."""
+    aliases = sorted({a for a, _, _ in synth.ALIAS_ROWS})
+    n_al, n_fill = len(aliases), len(synth.FILLER)
+    best = {}
+    for a, iri_, score in synth.ALIAS_ROWS:
+        cur = best.get(a)
+        if cur is None or (score, [iri_]) > (cur[0], [cur[1]]):
+            # higher score wins; tie → iri asc
+            if cur is None or score > cur[0] or (score == cur[0] and iri_ < cur[1]):
+                best[a] = (score, iri_)
+    vocab = set(best)
+    out = {}
+    for i in range(n_pages):
+        m = [aliases[(i * 7 + k * 13) % n_al] for k in range(3)]
+        f = [synth.FILLER[(i * 5 + k * 3) % n_fill] for k in range(4)]
+        text = " ".join([f[0], m[0], f[1], "and", m[1], f[2], m[2], f[3], "& more"])
+        toks = [t for t in __import__("re").split(r"[^a-z0-9]+", text.lower()) if t]
+        cands = set()
+        for n in (1, 2):
+            for j in range(len(toks) - n + 1):
+                c = " ".join(toks[j : j + n])
+                if c in vocab:
+                    cands.add(c)
+        out[f"https://example.org/page/{i}"] = {best[c][1] for c in cands}
+    return out
+
+
+def sameas_closure():
+    """Symmetric-transitive closure classes over the seed pairs."""
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in synth.SAMEAS_SEED:
+        adj[a].add(b)
+        adj[b].add(a)
+    classes = {}
+    for start in adj:
+        if start in classes:
+            continue
+        comp, stack = set(), [start]
+        while stack:
+            x = stack.pop()
+            if x in comp:
+                continue
+            comp.add(x)
+            stack.extend(adj[x])
+        for x in comp:
+            classes[x] = comp
+    return classes
+
+
+def test_extraction_fidelity(spark):
+    pages = synth.synth_pages(spark, N_PAGES)
+    assert verify_fidelity(extract_text(pages)) == 0
+
+
+def test_link_determinism_and_ambiguity(spark):
+    pages = synth.synth_pages(spark, N_PAGES)
+    linked = link_mentions(pages, synth.alias_dict(spark), text_col="text")
+    rows = linked.collect()
+    # ambiguous alias resolves to the higher-score IRI
+    for r in rows:
+        if r.surface == "mercury":
+            assert r.iri == synth.ENT + "mercury_planet"
+    # two runs identical
+    rows2 = link_mentions(pages, synth.alias_dict(spark), text_col="text").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_pipeline_golden_pr(spark, tmp_path):
+    pages = synth.synth_pages(spark, N_PAGES)
+    out_dir = str(tmp_path / "graph")
+    pr = webkg.run_pipeline(spark, pages, out_dir=out_dir)
+    assert pr.fidelity_violations == 0
+
+    # ---- gold standard (reference semantics computed driver-side)
+    KG = webkg.KG
+    gold = set()
+    mentions = gold_mentions(N_PAGES)
+    classes = sameas_closure()
+    for url, ents in mentions.items():
+        full = set(ents)
+        for e in ents:
+            if e in classes:
+                full |= classes[e]
+        for e in full:
+            gold.add((url, KG + "mentions", e))
+            if synth.ENTITY_TYPES.get(e) == synth.TYPE + "Person":
+                gold.add((url, KG + "mentionsPerson", e))
+    # sameAs closure edges (irreflexive: engine derives a~a only via a~b~a)
+    for a, comp in classes.items():
+        for b in comp:
+            gold.add((a, KG + "sameAs", b))
+    for e, t in synth.ENTITY_TYPES.items():
+        gold.add((e, RDF_TYPE, t))
+    for i in range(N_PAGES):
+        gold.add(
+            (
+                f"https://example.org/page/{i}",
+                KG + "inLang",
+                synth.LANGS[i % len(synth.LANGS)],
+            )
+        )
+
+    decoded = decode_triples(pr.result.store, pr.result.terms)
+    got = {(r.s_lex, r.p_lex, r.o_lex) for r in decoded.collect()}
+
+    tp = len(got & gold)
+    precision = tp / len(got)
+    recall = tp / len(gold)
+    assert precision >= 0.95 and recall >= 0.95, (
+        f"P={precision} R={recall}; missing={list(gold - got)[:5]} extra={list(got - gold)[:5]}"
+    )
+
+    # ---- materialized graph round-trips
+    ds = webkg.read_graph(spark, out_dir)
+    assert ds.triples.count() == pr.n_total
+    # lineage: entailed rows carry rule ids and rounds
+    ent = ds.triples.filter(F.col("cause_kind") == 1)
+    assert ent.filter(F.col("rule_id").isNull()).count() == 0
+    assert ent.agg(F.min("round")).collect()[0][0] >= 1
