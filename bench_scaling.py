@@ -1,0 +1,124 @@
+"""Two-cluster-size scaling evidence (north rule: throughput scaling
+efficiency ≥ 0.8 between N and 4N executors).
+
+Sandbox proxy per driver instruction: the identical KG-construction job
++ identical input at ``local[8]`` vs ``local[32]``.  Each level runs in
+its own ``spark-submit`` process (fresh JVM, no warm-cache bleed).
+
+    efficiency = (pages_per_sec@32 / pages_per_sec@8) / 4
+
+Writes BENCH_SCALING.md + prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "400000"))
+LEVELS = [8, 32]
+
+
+def run_level(cores: int, pages_path: str, out_dir: str) -> dict:
+    env = dict(os.environ)
+    cmd = [
+        "spark-submit",
+        "--master",
+        f"local[{cores}]",
+        "--conf",
+        f"spark.sql.shuffle.partitions={cores}",
+        "--conf",
+        "spark.sql.adaptive.enabled=true",
+        "--conf",
+        "spark.sql.adaptive.skewJoin.enabled=true",
+        "--conf",
+        "spark.driver.memory=24g",
+        "--conf",
+        "spark.ui.enabled=false",
+        os.path.join(REPO, "jobs", "run_kg_pipeline.py"),
+        "--pages",
+        pages_path,
+        "--out",
+        out_dir,
+    ]
+    res = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd=REPO, timeout=3600)
+    if res.returncode != 0:
+        sys.stderr.write(res.stdout[-2000:] + "\n" + res.stderr[-4000:] + "\n")
+        raise RuntimeError(f"level {cores} failed")
+    line = [ln for ln in res.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    tmp = tempfile.mkdtemp(prefix="kg_scaling_")
+    pages_path = os.path.join(tmp, "pages")
+    try:
+        # synthesize the shared input once (deterministic — same table at
+        # any parallelism), with enough partitions for 32-way reads
+        gen = subprocess.run(
+            [
+                "spark-submit",
+                "--master",
+                "local[32]",
+                "--conf",
+                "spark.ui.enabled=false",
+                "--conf",
+                "spark.driver.memory=16g",
+                "-c",
+                "spark.sql.shuffle.partitions=32",
+                os.path.join(REPO, "jobs", "synth_pages_job.py"),
+                str(N_PAGES),
+                pages_path,
+            ],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+            timeout=1800,
+        )
+        if gen.returncode != 0:
+            sys.stderr.write(gen.stderr[-4000:])
+            raise RuntimeError("page synthesis failed")
+
+        results = {}
+        for cores in LEVELS:
+            out_dir = os.path.join(tmp, f"graph_{cores}")
+            results[cores] = run_level(cores, pages_path, out_dir)
+
+        thr = {c: results[c]["pages_per_sec"] for c in LEVELS}
+        eff = (thr[32] / thr[8]) / (32 / 8)
+        summary = {
+            "metric": "scaling_efficiency_8_to_32",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "n_pages": N_PAGES,
+            "throughput": {f"local[{c}]": thr[c] for c in LEVELS},
+            "wall_sec": {f"local[{c}]": results[c]["wall_sec"] for c in LEVELS},
+            "detail": results,
+        }
+        print(json.dumps(summary))
+
+        with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as f:
+            f.write(
+                "# Scaling evidence (N vs 4N parallelism)\n\n"
+                "Same KG-construction job (extract → link → encode → rule fixpoint →\n"
+                "materialize) on the identical synthesized pages input, run via\n"
+                "`spark-submit` in separate JVMs.\n\n"
+                f"| level | pages/sec | wall sec |\n|---|---|---|\n"
+                f"| local[8] | {thr[8]} | {results[8]['wall_sec']} |\n"
+                f"| local[32] | {thr[32]} | {results[32]['wall_sec']} |\n\n"
+                f"- input: {N_PAGES} synthesized pages (deterministic, no external data)\n"
+                f"- **scaling efficiency (8→32) = {eff:.3f}** "
+                f"(target ≥ 0.8 per BASELINE.json)\n"
+                f"- detail: {json.dumps(results)}\n"
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""Eq-closure and blank-node canonicalization tests."""
+
+from inferdf_rs_spark import System, blank, build_dataset, iri, pat, rule, stmt_triple, v
+from inferdf_rs_spark.operators.canon import graph_signature, pr_score
+from inferdf_rs_spark.operators.eqclosure import apply_eq_mapping, eq_closure
+from inferdf_rs_spark.terms import encode_terms
+
+EX = "https://example.org/#"
+
+
+def test_eq_closure_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (5, 5)], "a bigint, b bigint"
+    )
+    m = {r.term_id: r.res for r in eq_closure(pairs).collect()}
+    assert m[1] == m[2] == m[3] == 1
+    assert m[10] == m[11] == 10
+    assert m.get(5, 5) == 5  # self-loop: singleton
+
+
+def test_eq_closure_long_chain(spark):
+    # chain of 20 nodes: needs several propagation rounds
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(20)], "a bigint, b bigint")
+    m = {r.term_id: r.res for r in eq_closure(pairs).collect()}
+    assert all(v == 0 for v in m.values())
+
+
+def test_apply_eq_mapping_dedups(spark):
+    ds = build_dataset(
+        spark,
+        [
+            (blank("a"), iri(EX + "p"), blank("x")),
+            (blank("b"), iri(EX + "p"), blank("x")),
+        ],
+    )
+    ids = encode_terms(spark, [blank("a"), blank("b")])
+    mapping = spark.createDataFrame(
+        [(ids[blank("a")], 42), (ids[blank("b")], 42)], "term_id bigint, res bigint"
+    )
+    out = apply_eq_mapping(ds.triples, mapping)
+    assert out.count() == 1
+    assert out.collect()[0].s == 42
+
+
+def _mk_graph(spark, names):
+    a, b, c = names
+    return build_dataset(
+        spark,
+        [
+            (blank(a), iri(EX + "knows"), blank(b)),
+            (blank(b), iri(EX + "knows"), blank(c)),
+            (blank(c), iri(EX + "worksAt"), iri(EX + "acme")),
+        ],
+    )
+
+
+def test_canonicalization_isomorphic_graphs(spark):
+    g1 = _mk_graph(spark, ("n1", "n2", "n3"))
+    g2 = _mk_graph(spark, ("zz", "qq", "pp"))  # same shape, different labels
+    assert graph_signature(g1.triples, g1.terms) == graph_signature(g2.triples, g2.terms)
+
+    p, r = pr_score(g1.triples, g2.triples, g1.terms, g2.terms)
+    assert p == 1.0 and r == 1.0
+
+
+def test_canonicalization_distinguishes_structure(spark):
+    g1 = _mk_graph(spark, ("n1", "n2", "n3"))
+    g3 = build_dataset(
+        spark,
+        [
+            (blank("x"), iri(EX + "knows"), blank("y")),
+            (blank("y"), iri(EX + "knows"), blank("x")),  # cycle, not chain
+            (blank("x"), iri(EX + "worksAt"), iri(EX + "acme")),
+        ],
+    )
+    assert graph_signature(g1.triples, g1.terms) != graph_signature(g3.triples, g3.terms)
+
+
+def test_pr_vs_sequentially_minted_reference(spark):
+    """Existential minting parity: our hash-minted blanks vs a
+    'reference-style' graph with sequentially-named blanks — P/R == 1
+    after canonicalization (SURVEY §7 item 10)."""
+    ds = build_dataset(
+        spark,
+        [
+            (blank("s1"), iri(EX + "a"), blank("o1")),
+            (blank("s2"), iri(EX + "a"), blank("o2")),
+        ],
+    )
+    r = rule(
+        variables=2,
+        hypothesis=[pat("+", v(0), iri(EX + "a"), v(1))],
+        statements=[stmt_triple("+", v(0), iri(EX + "b"), v(2))],
+        existentials=1,
+    )
+    sysm = System(spark, [r])
+    res = sysm.fixpoint(ds)
+
+    # reference-style expected graph: fresh blanks named by a sequential
+    # generator (order unknown — canonicalization must absorb it)
+    expected = build_dataset(
+        spark,
+        [
+            (blank("s1"), iri(EX + "a"), blank("o1")),
+            (blank("s2"), iri(EX + "a"), blank("o2")),
+            (blank("s1"), iri(EX + "b"), blank("g0")),
+            (blank("s2"), iri(EX + "b"), blank("g1")),
+        ],
+    )
+    p, rcl = pr_score(res.store, expected.triples, res.terms, expected.terms)
+    assert p == 1.0 and rcl == 1.0
