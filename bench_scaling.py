@@ -26,12 +26,23 @@ LEVELS = [8, 32]
 
 def run_level(cores: int, pages_path: str, out_dir: str) -> dict:
     env = dict(os.environ)
+    # one compute thread per python worker (nested Arrow/OMP pools thrash)
+    env.update(
+        OMP_NUM_THREADS="1", ARROW_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1"
+    )
     cmd = [
+        # taskset pins the whole JVM+python tree to exactly `cores` CPUs —
+        # local[N] alone only bounds task slots, not GC/shuffle/python
+        # helper threads, which would let the "8-core" level use ~14 cores
+        "taskset",
+        "-c",
+        f"0-{cores - 1}",
         "spark-submit",
         "--master",
         f"local[{cores}]",
         "--conf",
-        f"spark.sql.shuffle.partitions={cores}",
+        # constant across levels: isolates the CPU-count variable
+        "spark.sql.shuffle.partitions=32",
         "--conf",
         "spark.sql.adaptive.enabled=true",
         "--conf",
@@ -39,14 +50,19 @@ def run_level(cores: int, pages_path: str, out_dir: str) -> dict:
         "--conf",
         "spark.driver.memory=24g",
         "--conf",
+        f"spark.local.dir=/dev/shm/spark_bench_{cores}",  # RAM shuffle: no disk noise
+        "--conf",
         "spark.ui.enabled=false",
         os.path.join(REPO, "jobs", "run_kg_pipeline.py"),
         "--pages",
         pages_path,
         "--out",
         out_dir,
+        "--repeat",
+        "2",  # steady state: report the warm second run
     ]
     res = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd=REPO, timeout=3600)
+    shutil.rmtree(f"/dev/shm/spark_bench_{cores}", ignore_errors=True)
     if res.returncode != 0:
         sys.stderr.write(res.stdout[-2000:] + "\n" + res.stderr[-4000:] + "\n")
         raise RuntimeError(f"level {cores} failed")

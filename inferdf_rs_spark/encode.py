@@ -17,30 +17,63 @@ from .schemas import CAUSE_STATED, KIND_IRI
 from .terms import term_id_col
 
 
-def encode_edges(spark: SparkSession, edges: DataFrame, src_partition: str = "stated") -> Dataset:
+def term_rows(df: DataFrame, kind, lexical, datatype=None, distinct: bool = True) -> DataFrame:
+    """Build dictionary rows from one lexical column (pre-deduped sources
+    can pass distinct=False and skip the shuffle)."""
+    null_s = F.lit(None).cast("string")
+    out = df.select(
+        (F.lit(kind) if isinstance(kind, int) else kind).alias("kind"),
+        F.col(lexical).alias("lexical") if isinstance(lexical, str) else lexical.alias("lexical"),
+        (null_s if datatype is None else (F.lit(datatype) if isinstance(datatype, str) else datatype)).alias(
+            "datatype"
+        ),
+    )
+    if distinct:
+        out = out.dropDuplicates()
+    return out.select(
+        term_id_col(F.col("kind"), F.col("lexical"), F.col("datatype"), null_s).alias("term_id"),
+        "kind",
+        "lexical",
+        "datatype",
+        null_s.alias("lang"),
+    )
+
+
+def encode_edges(
+    spark: SparkSession,
+    edges: DataFrame,
+    src_partition: str = "stated",
+    terms: DataFrame | None = None,
+) -> Dataset:
     """Encode an edge DataFrame into a (triples, terms) Dataset.
 
     ``edges`` columns: ``s_lex`` (iri), ``p_lex`` (iri), ``o_kind``,
     ``o_lex``, ``o_dt`` (datatype for literal objects, null otherwise).
+
+    ``terms``: optionally a pre-built dictionary covering every term in
+    the edges — callers that know their term sources (e.g. urls are
+    unique per page, entities come from a broadcast dict) skip the
+    expensive 3-projection distinct over the full edge table.
     """
     null_s = F.lit(None).cast("string")
-    terms = (
-        edges.select(F.lit(KIND_IRI).alias("kind"), F.col("s_lex").alias("lexical"), null_s.alias("datatype"))
-        .unionByName(
-            edges.select(F.lit(KIND_IRI).alias("kind"), F.col("p_lex").alias("lexical"), null_s.alias("datatype"))
+    if terms is None:
+        terms = (
+            edges.select(F.lit(KIND_IRI).alias("kind"), F.col("s_lex").alias("lexical"), null_s.alias("datatype"))
+            .unionByName(
+                edges.select(F.lit(KIND_IRI).alias("kind"), F.col("p_lex").alias("lexical"), null_s.alias("datatype"))
+            )
+            .unionByName(
+                edges.select(F.col("o_kind").alias("kind"), F.col("o_lex").alias("lexical"), F.col("o_dt").alias("datatype"))
+            )
+            .dropDuplicates()
+            .select(
+                term_id_col(F.col("kind"), F.col("lexical"), F.col("datatype"), null_s).alias("term_id"),
+                "kind",
+                "lexical",
+                "datatype",
+                null_s.alias("lang"),
+            )
         )
-        .unionByName(
-            edges.select(F.col("o_kind").alias("kind"), F.col("o_lex").alias("lexical"), F.col("o_dt").alias("datatype"))
-        )
-        .dropDuplicates()
-        .select(
-            term_id_col(F.col("kind"), F.col("lexical"), F.col("datatype"), null_s).alias("term_id"),
-            "kind",
-            "lexical",
-            "datatype",
-            null_s.alias("lang"),
-        )
-    )
     triples = edges.select(
         term_id_col(F.lit(KIND_IRI), F.col("s_lex"), null_s, null_s).alias("s"),
         term_id_col(F.lit(KIND_IRI), F.col("p_lex"), null_s, null_s).alias("p"),

@@ -105,12 +105,19 @@ def sameas_seed(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(SAMEAS_SEED, "a string, b string")
 
 
-def synth_pages(spark: SparkSession, n_pages: int, partitions: int | None = None) -> DataFrame:
+def synth_pages(
+    spark: SparkSession,
+    n_pages: int,
+    partitions: int | None = None,
+    words_per_page: int = 24,
+) -> DataFrame:
     """Generate N pages deterministically from range arithmetic.
 
-    Each page embeds 3 alias mentions (chosen by modular arithmetic on
-    the page id) separated by filler words; html wraps text in tags with
-    '&' escaped so extraction can reproduce text byte-identically."""
+    Word k of page i is an alias mention when ``k % 8 == 0`` (chosen by
+    modular arithmetic on (i, k)), a filler word otherwise; html wraps
+    text in tags with '&' escaped so extraction reproduces the text
+    byte-identically.  ``words_per_page`` scales page size (24 ≈ test
+    fixtures; 150+ ≈ realistic crawled-page text)."""
     aliases = sorted({a for a, _, _ in ALIAS_ROWS})
     n_al, n_fill = len(aliases), len(FILLER)
     alias_arr = F.array(*[F.lit(a) for a in aliases])
@@ -118,11 +125,13 @@ def synth_pages(spark: SparkSession, n_pages: int, partitions: int | None = None
 
     df = spark.range(0, n_pages, 1, partitions or spark.sparkContext.defaultParallelism)
     i = F.col("id")
-    m = [alias_arr[(i * 7 + k * 13) % n_al] for k in range(3)]
-    f = [fill_arr[(i * 5 + k * 3) % n_fill] for k in range(4)]
-    text = F.concat_ws(
-        " ", f[0], m[0], f[1], F.lit("and"), m[1], f[2], m[2], f[3], F.lit("& more")
-    )
+    # slot step 5 is coprime to the alias-vocabulary size → consecutive
+    # mention slots cycle the whole dictionary, not a small subgroup
+    words = [
+        alias_arr[(i * 7 + (k // 8) * 5) % n_al] if k % 8 == 0 else fill_arr[(i * 5 + k * 3) % n_fill]
+        for k in range(words_per_page)
+    ]
+    text = F.concat_ws(" ", *words, F.lit("& more"))
     html = F.concat(
         F.lit("<html><head><title>page "),
         i.cast("string"),

@@ -62,7 +62,11 @@ def _deduce_round(
     facets = resource_facets(terms)
     batches = []
     for idx, rule in enumerate(rules):
-        subst = find_substitutions(store, rule, const_ids, delta=delta)
+        # distinct=False: duplicate substitutions (a binding reachable via
+        # two delta slots) only duplicate conclusion rows, and those are
+        # deduped once on the triple key downstream — one exchange per
+        # round instead of one per rule per round
+        subst = find_substitutions(store, rule, const_ids, delta=delta, distinct=False)
         batches.append(conclude(subst, rule, idx, const_ids, facets, round_num, functions))
     return merge_concluded(spark, batches)
 

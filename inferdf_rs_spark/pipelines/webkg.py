@@ -20,7 +20,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..encode import encode_edges
+from ..encode import encode_edges, term_rows
 from ..engine import Dataset, System
 from ..extraction import synth
 from ..extraction.extract import extract_text, link_mentions, verify_fidelity
@@ -130,32 +130,64 @@ def run_pipeline(
     timings: dict[str, float] = {}
 
     t0 = time.perf_counter()
-    pages = extract_text(pages)
-    fid = 0 if skip_fidelity else verify_fidelity(pages)
+    # persist: the extraction UDF output feeds the fidelity check, the
+    # linking pass and the lang edges — one Arrow pass instead of three
+    pages = extract_text(pages).persist()
+    stats = pages.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("extracted_text").eqNullSafe(F.col("text")), 0).otherwise(1)
+        ).alias("bad"),
+    ).collect()[0]
+    n_pages, fid = stats.n, (0 if skip_fidelity else int(stats.bad or 0))
     if fid:
         raise RuntimeError(f"extraction fidelity violated on {fid} urls")
     timings["extract_verify"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    edges = stated_edges(
-        spark,
-        pages,
+    alias_d, etypes, sameas = (
         synth.alias_dict(spark),
         synth.entity_types(spark),
         synth.sameas_seed(spark),
     )
-    ds = encode_edges(spark, edges)
+    edges = stated_edges(spark, pages, alias_d, etypes, sameas)
+    # dictionary from its natural sources instead of a distinct over the
+    # 3x-projected edge table: urls are unique per page (no shuffle),
+    # predicates are a static list, entities/types come from broadcast
+    # dims, langs are a low-cardinality distinct
+    preds = spark.createDataFrame(
+        [(p,) for p in (KG + "mentions", KG + "sameAs", KG + "inLang", RDF_TYPE)], "lex string"
+    )
+    ent_lex = (
+        alias_d.select(F.col("iri").alias("lex"))
+        .unionByName(etypes.select(F.col("iri").alias("lex")))
+        .unionByName(etypes.select(F.col("type").alias("lex")))
+        .unionByName(sameas.select(F.col("a").alias("lex")))
+        .unionByName(sameas.select(F.col("b").alias("lex")))
+    )
+    from ..schemas import KIND_LITERAL as _KL
+
+    terms_df = (
+        term_rows(pages, KIND_IRI, "url", distinct=False)
+        .unionByName(term_rows(preds, KIND_IRI, "lex"))
+        .unionByName(term_rows(ent_lex, KIND_IRI, "lex"))
+        .unionByName(term_rows(pages.select("lang").distinct(), _KL, "lang", XSD_STRING, distinct=False))
+    )
+    ds = encode_edges(spark, edges, terms=terms_df)
     sysm = System(spark, web_rules())
     # materialize the stated layer once: it feeds every fixpoint round.
-    # rule-constant terms join the dictionary so decode/facets cover them.
-    triples = ds.triples.localCheckpoint(eager=True)
+    # set semantics: duplicate stated edges (two alias surfaces of one
+    # entity on a page) collapse on the triple key, like the reference's
+    # idempotent insert.  rule-constant terms join the dictionary so
+    # decode/facets cover them.
+    triples = ds.triples.dropDuplicates(["s", "p", "o", "sign"]).localCheckpoint(eager=True)
     terms = (
         ds.terms.unionByName(sysm.rule_constants_terms())
         .dropDuplicates(["term_id"])
         .localCheckpoint(eager=True)
     )
     n_stated = triples.count()
-    n_pages = pages.count()
+    pages.unpersist()
     timings["link_encode"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()

@@ -12,7 +12,14 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+# one compute thread per python worker: each Spark task already owns a
+# core, and nested Arrow/OpenMP pools (32 workers x 32 threads) thrash
+# the box — a 6x slowdown on Arrow-UDF stages measured at local[32]
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+os.environ.setdefault("ARROW_NUM_THREADS", "1")
+os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+
+from pyspark.sql import SparkSession  # noqa: E402
 
 
 def get_spark(

@@ -1,0 +1,117 @@
+"""X1 custom functions, X2 source backends, and streaming ingest tests."""
+
+import pytest
+
+from inferdf_rs_spark import (
+    System,
+    Term,
+    blank,
+    build_dataset,
+    call,
+    dec,
+    iri,
+    pat,
+    rule,
+    s_,
+    stmt_true,
+    v,
+)
+from inferdf_rs_spark.functions import DEFAULT_FUNCTIONS
+from inferdf_rs_spark.sources.registry import read_dataset, write_dataset
+
+EX = "https://example.org/#"
+
+
+def test_custom_function_strlen(spark):
+    # (>= (strlen ?name) 5) over a string literal
+    ds = build_dataset(spark, [(blank("0"), iri(EX + "name"), Term.literal("Armstrong"))])
+    r = rule(
+        variables=2,
+        hypothesis=[pat("+", v(0), iri(EX + "name"), v(1))],
+        statements=[stmt_true("+", call("geq", call("strlen", v(1)), dec(5)))],
+    )
+    sysm = System(spark, [r], functions=DEFAULT_FUNCTIONS)
+    assert sysm.validate(ds).is_valid()
+
+    r2 = rule(
+        variables=2,
+        hypothesis=[pat("+", v(0), iri(EX + "name"), v(1))],
+        statements=[stmt_true("+", call("lt", call("strlen", v(1)), dec(5)))],
+    )
+    assert not System(spark, [r2], functions=DEFAULT_FUNCTIONS).validate(ds).is_valid()
+
+
+def test_custom_function_concat_starts_with(spark):
+    ds = build_dataset(spark, [(blank("0"), iri(EX + "p"), Term.literal("world"))])
+    r = rule(
+        variables=2,
+        hypothesis=[pat("+", v(0), iri(EX + "p"), v(1))],
+        statements=[
+            stmt_true("+", call("eq", call("concat", s_("hello "), v(1)), s_("hello world"))),
+            stmt_true("+", call("starts_with", s_("wor"), v(1))),
+        ],
+    )
+    assert System(spark, [r], functions=DEFAULT_FUNCTIONS).validate(ds).is_valid()
+
+
+def test_unknown_function_raises(spark):
+    ds = build_dataset(spark, [(blank("0"), iri(EX + "p"), blank("1"))])
+    r = rule(
+        variables=2,
+        hypothesis=[pat("+", v(0), iri(EX + "p"), v(1))],
+        statements=[stmt_true("+", call("no_such_fn", v(1)))],
+    )
+    with pytest.raises(ValueError, match="no_such_fn"):
+        System(spark, [r]).validate(ds)
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "json", "csv"])
+def test_dataset_roundtrip_formats(spark, tmp_path, fmt):
+    ds = build_dataset(
+        spark,
+        [
+            (blank("a"), iri(EX + "p"), blank("b")),
+            (blank("b"), iri(EX + "p"), Term.literal("x")),
+        ],
+    )
+    path = str(tmp_path / fmt)
+    write_dataset(ds, path, fmt=fmt)
+    back = read_dataset(spark, path, fmt=fmt)
+    assert sorted(map(tuple, back.triples.select("s", "p", "o").collect())) == sorted(
+        map(tuple, ds.triples.select("s", "p", "o").collect())
+    )
+    assert back.terms.count() == ds.terms.count()
+
+
+def test_streaming_incremental_graph(spark, tmp_path):
+    """Two page micro-batches; the incremental graph equals the batch
+    pipeline's fixpoint over the union."""
+    from inferdf_rs_spark.extraction import synth
+    from inferdf_rs_spark.pipelines import webkg
+    from inferdf_rs_spark.streaming.ingest import stream_pages_to_graph
+
+    pages_dir = str(tmp_path / "pages_stream")
+    all_pages = synth.synth_pages(spark, 30).persist()
+    all_pages.filter("url like '%/1_' or url like '%/_'").write.parquet(pages_dir + "/b1")
+    all_pages.filter("url like '%/2_'").write.parquet(pages_dir + "/b2")
+
+    sysm = System(spark, webkg.web_rules())
+    q, sg = stream_pages_to_graph(
+        spark,
+        sysm,
+        pages_dir + "/*",
+        str(tmp_path / "out"),
+        synth.alias_dict(spark),
+        synth.entity_types(spark),
+        synth.sameas_seed(spark),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    n_stream, n_batches = sg.counts()
+    assert n_batches >= 1
+
+    # batch reference
+    pr = webkg.run_pipeline(spark, all_pages, skip_fidelity=True)
+    assert n_stream == pr.n_total
+    all_pages.unpersist()

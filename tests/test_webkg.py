@@ -28,9 +28,13 @@ def gold_mentions(n_pages):
     vocab = set(best)
     out = {}
     for i in range(n_pages):
-        m = [aliases[(i * 7 + k * 13) % n_al] for k in range(3)]
-        f = [synth.FILLER[(i * 5 + k * 3) % n_fill] for k in range(4)]
-        text = " ".join([f[0], m[0], f[1], "and", m[1], f[2], m[2], f[3], "& more"])
+        words = [
+            aliases[(i * 7 + (k // 8) * 5) % n_al]
+            if k % 8 == 0
+            else synth.FILLER[(i * 5 + k * 3) % n_fill]
+            for k in range(24)
+        ]
+        text = " ".join(words + ["& more"])
         toks = [t for t in __import__("re").split(r"[^a-z0-9]+", text.lower()) if t]
         cands = set()
         for n in (1, 2):
