@@ -20,8 +20,14 @@ import sys
 import tempfile
 
 REPO = os.path.dirname(os.path.abspath(__file__))
-N_PAGES = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "400000"))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "2000000"))
 LEVELS = [8, 32]
+# measured warmup curve at local[32]: identical pipeline iterations take
+# 157s → 114s → 108s → 110s — the first runs pay JVM JIT compilation of
+# the codegen'd stages.  A production cluster job runs for hours, so the
+# steady-state (post-JIT) iteration is the honest throughput; warmups are
+# reported to stderr for transparency.
+N_REPEAT = int(os.environ.get("SPARK_GRAFT_SCALE_REPEAT", "4"))
 
 
 def run_level(cores: int, pages_path: str, out_dir: str) -> dict:
@@ -48,9 +54,14 @@ def run_level(cores: int, pages_path: str, out_dir: str) -> dict:
         "--conf",
         "spark.sql.adaptive.skewJoin.enabled=true",
         "--conf",
-        "spark.driver.memory=24g",
+        "spark.driver.memory=32g",
         "--conf",
         f"spark.local.dir=/dev/shm/spark_bench_{cores}",  # RAM shuffle: no disk noise
+        "--conf",
+        # tmpfs shuffle: lz4 costs CPU and saves nothing on RAM-backed dirs
+        "spark.shuffle.compress=false",
+        "--conf",
+        "spark.shuffle.spill.compress=false",
         "--conf",
         "spark.ui.enabled=false",
         os.path.join(REPO, "jobs", "run_kg_pipeline.py"),
@@ -59,7 +70,7 @@ def run_level(cores: int, pages_path: str, out_dir: str) -> dict:
         "--out",
         out_dir,
         "--repeat",
-        "2",  # steady state: report the warm second run
+        str(N_REPEAT),  # steady state: report the post-JIT-warmup run
     ]
     res = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd=REPO, timeout=3600)
     shutil.rmtree(f"/dev/shm/spark_bench_{cores}", ignore_errors=True)

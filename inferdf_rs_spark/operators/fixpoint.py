@@ -144,9 +144,15 @@ def fixpoint(
     if delta is not None:
         delta = delta.localCheckpoint(eager=True)
 
+    import sys
+    import time as _time
+
+    debug_timing = os.environ.get("INFERDF_DEBUG_TIMING") == "1"
+
     rnd = start_round
     while rnd < max_rounds:
         rnd += 1
+        _t0 = _time.perf_counter()
         c = _deduce_round(spark, store, terms, rules, const_ids, delta, rnd, functions)
         if strict_errors and any(r.has_expressions() for r in rules):
             bad = c.errors.limit(1).collect()
@@ -160,6 +166,10 @@ def fixpoint(
             .localCheckpoint(eager=True)
         )
         n_new = new.count()
+        if debug_timing:
+            sys.stderr.write(
+                f"[fixpoint] round={rnd} new={n_new} deduce+anti+ckpt={_time.perf_counter() - _t0:.2f}s\n"
+            )
 
         # static rule analysis: skip side-channel actions (term minting,
         # Eq/True accumulation) when no rule can produce them — saves

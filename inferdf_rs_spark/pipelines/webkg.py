@@ -130,14 +130,23 @@ def run_pipeline(
     timings: dict[str, float] = {}
 
     t0 = time.perf_counter()
-    # persist: the extraction UDF output feeds the fidelity check, the
-    # linking pass and the lang edges — one Arrow pass instead of three
-    pages = extract_text(pages).persist()
+    # persist ONLY the slim projection (url, lang, extracted_text, fidelity
+    # bit): caching raw html+text too (~3.5KB/page) evicts under memory
+    # pressure and anti-scales — measured 84s vs 31s at 2M pages.  One
+    # Arrow pass feeds the fidelity check, the linking pass and lang edges.
+    pages = (
+        extract_text(pages)
+        .select(
+            "url",
+            "lang",
+            "extracted_text",
+            F.col("extracted_text").eqNullSafe(F.col("text")).alias("_fid_ok"),
+        )
+        .persist()
+    )
     stats = pages.agg(
         F.count("*").alias("n"),
-        F.sum(
-            F.when(F.col("extracted_text").eqNullSafe(F.col("text")), 0).otherwise(1)
-        ).alias("bad"),
+        F.sum(F.when(F.col("_fid_ok"), 0).otherwise(1)).alias("bad"),
     ).collect()[0]
     n_pages, fid = stats.n, (0 if skip_fidelity else int(stats.bad or 0))
     if fid:

@@ -69,7 +69,7 @@ def main() -> None:
     else:
         ap.error("need --pages or --synth")
 
-    for _ in range(max(args.repeat, 1)):
+    for it in range(max(args.repeat, 1)):
         t0 = time.perf_counter()
         pr = webkg.run_pipeline(
             spark,
@@ -79,6 +79,16 @@ def main() -> None:
             skip_fidelity=args.skip_fidelity,
         )
         wall = time.perf_counter() - t0
+        if it < args.repeat - 1:  # warmup runs: timings to stderr
+            sys.stderr.write(f"warmup {it}: wall={wall:.3f} timings={pr.timings}\n")
+            # release the warmup run's state (localCheckpoint blocks, cached
+            # plans); otherwise the measured run pays the previous run's
+            # storage/GC pressure — measured 2x slowdown on round-1 deduce
+            pr = None
+            spark.catalog.clearCache()
+            for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+                rdd.unpersist()
+            spark.sparkContext._jvm.System.gc()
 
     print(
         json.dumps(
