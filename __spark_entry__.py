@@ -137,7 +137,7 @@ def oracle_sql() -> dict[str, str]:
         "WHERE l_partkey = l_suppkey",
         "conj_join": f"WITH {_TOKS4} "
         "SELECT 'doc://' || doc_id AS doc_iri FROM toks WHERE token = 'data' "
-        "INTERSECT SELECT 'doc://' || doc_id FROM toks WHERE token = 'model'",
+        "INTERSECT SELECT 'doc://' || doc_id FROM toks WHERE token = 'batch'",
         "deduce_geo": "SELECT 'cust://' || c_custkey AS cust_iri, "
         "'region://' || n_regionkey AS region_iri "
         "FROM customer JOIN nation ON c_nationkey = n_nationkey",
@@ -155,7 +155,7 @@ def oracle_sql() -> dict[str, str]:
         "WHERE n_chars >= 300",
         "regex_filter": f"WITH {_TOKS4} "
         "SELECT DISTINCT 'doc://' || doc_id AS doc_iri FROM toks "
-        "WHERE regexp_matches(token, '^mod[a-z]*$')",
+        "WHERE regexp_matches(token, '^me[a-z]*$')",
         # ----- dedup
         "exact_dedup": "SELECT doc_id, md5(text) AS dup_key, "
         "count(*) OVER (PARTITION BY md5(text)) AS group_size, "

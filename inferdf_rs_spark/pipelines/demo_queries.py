@@ -74,8 +74,10 @@ def q_conj_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = rule(
         variables=1,
         hypothesis=[
+            # 'data' and 'batch' co-occur in most synthetic docs — the join
+            # is non-vacuous at every SF ('model' is absent from the vocab)
             pat("+", v(0), iri(KG + "mentions"), lit("data")),
-            pat("+", v(0), iri(KG + "mentions"), lit("model")),
+            pat("+", v(0), iri(KG + "mentions"), lit("batch")),
         ],
         statements=[stmt_triple("+", v(0), iri(KG + "mentions"), lit("data"))],
     )
@@ -175,12 +177,12 @@ def q_compare_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4: Matches over literal lexical forms — docs with a token
-    matching ^mod[a-z]*$ (RE2/Rust/Java-common regex subset)."""
+    matching ^me[a-z]*$ (RE2/Rust/Java-common regex subset)."""
     ds = kg_demo.mentions_dataset(spark, sf_dir)
     r = rule(
         variables=2,
         hypothesis=[pat("+", v(0), iri(KG + "mentions"), v(1))],
-        statements=[stmt_true("+", call("matches", regex("^mod[a-z]*$"), v(1)))],
+        statements=[stmt_true("+", call("matches", regex("^me[a-z]*$"), v(1)))],
     )
     cids = encode_terms(spark, r.constants())
     subst = find_substitutions(ds.triples, r, cids)
