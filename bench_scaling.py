@@ -185,7 +185,7 @@ def main() -> None:
                 "Same KG-construction job (extract → link → encode → rule fixpoint →\n"
                 "materialize) on the identical synthesized pages input, run via\n"
                 "`spark-submit` in separate JVMs, pinned with `taskset` to exactly\n"
-                "8 vs 32 cores, measured at JIT steady state (last of "
+                "8 vs 32 cores, measured at JIT steady state (best post-warmup iteration of "
                 f"{N_REPEAT} iterations).\n\n"
                 f"| level | pages/sec | wall sec |\n|---|---|---|\n"
                 f"| local[8] | {thr[8]} | {results[8]['wall_sec']} |\n"
