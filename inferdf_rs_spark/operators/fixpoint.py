@@ -148,12 +148,26 @@ def fixpoint(
     import time as _time
 
     debug_timing = os.environ.get("INFERDF_DEBUG_TIMING") == "1"
+    # optional columnar scan cache over the store pieces — measured NO
+    # faster than the row-format localCheckpoint blocks on this workload
+    # (the per-round cache materialization pass costs more than the
+    # column-pruned scans save), so the checkpoint path stays the default
+    scan_cache = os.environ.get("INFERDF_STORE_CACHE", "ckpt") == "columnar"
+    cached_store = None
 
     rnd = start_round
     while rnd < max_rounds:
         rnd += 1
+        if scan_cache:
+            prev_cache = cached_store
+            cached_store = store.persist()
+            scan_store = cached_store
+            if prev_cache is not None:
+                prev_cache.unpersist()
+        else:
+            scan_store = store
         _t0 = _time.perf_counter()
-        c = _deduce_round(spark, store, terms, rules, const_ids, delta, rnd, functions)
+        c = _deduce_round(spark, scan_store, terms, rules, const_ids, delta, rnd, functions)
         if strict_errors and any(r.has_expressions() for r in rules):
             bad = c.errors.limit(1).collect()
             if bad:
@@ -168,7 +182,7 @@ def fixpoint(
         # shuffle per fixpoint before this reorder)
         new = (
             deduced.dropDuplicates(TRIPLE_KEY)
-            .join(store.select(*TRIPLE_KEY), on=TRIPLE_KEY, how="left_anti")
+            .join(scan_store.select(*TRIPLE_KEY), on=TRIPLE_KEY, how="left_anti")
             .localCheckpoint(eager=True)
         )
         n_new = new.count()
@@ -229,6 +243,8 @@ def fixpoint(
             store = store.localCheckpoint(eager=True)
             terms = terms.localCheckpoint(eager=True)
 
+    if cached_store is not None:
+        cached_store.unpersist()  # data lives in the checkpointed pieces
     return FixpointResult(store, terms, eqs, trues, rnd, metrics)
 
 
