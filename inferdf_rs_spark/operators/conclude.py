@@ -35,6 +35,18 @@ TRUES_COLS = ["res", "vtype", "bval", "verr", "sign", "rule_id", "subst_hash"]
 
 NEW_TERM_STRUCT = "struct<term_id:bigint,kind:int,lexical:string,datatype:string,lang:string>"
 
+def _fold_errs(cols) -> "F.Column":
+    """First-error-wins fold, skipping literal no-error columns (rules
+    without expressions would otherwise build 0==0 predicates)."""
+    trivial = str(F.lit(ERR_NONE))  # built lazily: needs an active session
+    errs = [c for c in cols if str(c) != trivial]
+    if not errs:
+        return F.lit(ERR_NONE)
+    out = errs[0]
+    for c in errs[1:]:
+        out = F.when(out != ERR_NONE, out).otherwise(c)
+    return out
+
 
 @dataclass
 class Concluded:
@@ -108,9 +120,7 @@ def conclude(
         if isinstance(s, TripleStmt):
             cvs = [comp.compile(e) for e in (s.s, s.p, s.o)]
             insts = [comp.instantiate(cv) for cv in cvs]
-            err = F.lit(ERR_NONE)
-            for cv in cvs:
-                err = F.when(err != ERR_NONE, err).otherwise(cv.err)
+            err = _fold_errs([cv.err for cv in cvs])
             row = subst.select(
                 insts[0][0].alias("s"),
                 insts[1][0].alias("p"),
@@ -137,7 +147,7 @@ def conclude(
         elif isinstance(s, EqStmt):
             ca, cb = comp.compile(s.a), comp.compile(s.b)
             ia, ib = comp.instantiate(ca), comp.instantiate(cb)
-            err = F.when(ca.err != ERR_NONE, ca.err).otherwise(cb.err)
+            err = _fold_errs([ca.err, cb.err])
             row = subst.select(
                 ia[0].alias("a"),
                 ib[0].alias("b"),
