@@ -157,7 +157,9 @@ class ExprCompiler:
                 base["err"] = F.lit(1)
             return CV(vtype=F.lit(VT_BOOL), is_resource=True, **base)
         if dt in XSD_DECIMAL_FAMILY:
-            base["d"] = F.lit(t.lexical).cast(DECIMAL_T)
+            # try_cast: a malformed constant must become an InvalidLiteral
+            # error row, never an ANSI runtime crash.
+            base["d"] = F.lit(t.lexical).try_cast(DECIMAL_T)
             base["err"] = F.when(base["d"].isNull(), F.lit(1)).otherwise(F.lit(ERR_NONE))
             return CV(vtype=F.lit(VT_DECIMAL), is_resource=True, **base)
         if dt == XSD_STRING:
@@ -171,7 +173,7 @@ class ExprCompiler:
     def _lit(self, lit: Lit) -> CV:
         base = _nulls()
         if lit.space == "dec":
-            base["d"] = F.lit(lit.value).cast(DECIMAL_T)
+            base["d"] = F.lit(lit.value).try_cast(DECIMAL_T)
             return CV(vtype=F.lit(VT_DECIMAL), is_resource=False, **base)
         if lit.space == "str":
             base["s"] = F.lit(lit.value)
@@ -274,15 +276,32 @@ class ExprCompiler:
             return CV(vtype=F.lit(VT_BOOL), is_resource=False, **base)
 
         if c.fn in ("eq", "ne", "lt", "leq", "gt", "geq"):
-            # chained n-ary comparison over adjacent pairs
-            # (src/expression/mod.rs:284-299); 0/1 args ⇒ true
-            result = F.lit(True)
+            # Chained n-ary comparison over adjacent pairs
+            # (src/expression/mod.rs:284-299); 0/1 args ⇒ true.
+            #
+            # Error semantics mirror the reference exactly:
+            # 1. argument *evaluation* errors (nested calls — args are
+            #    evaluated to Values before ``call`` runs) propagate
+            #    unconditionally, first-in-arg-order wins;
+            # 2. Comparable *conversion* errors (resource facet parse /
+            #    ambiguity, ``Comparable::from_value``) are lazy — arg k
+            #    is only converted if every earlier adjacent pair
+            #    compared true, so ``(lt 3 2 <ambiguous>)`` is Ok(false),
+            #    not an error.
             err = F.lit(ERR_NONE)
             for a in args:
-                err = F.when(err != ERR_NONE, err).otherwise(a.err)
-            for x, y in zip(args, args[1:]):
-                result = result & self._cmp(c.fn, x, y)
-            base["b"] = F.when(err == ERR_NONE, result)
+                if not a.is_resource:
+                    err = F.when(err != ERR_NONE, err).otherwise(a.err)
+            state_false = F.lit(False)  # some earlier pair compared false
+            for k, a in enumerate(args):
+                if a.is_resource:
+                    err = F.when(err != ERR_NONE, err).otherwise(
+                        F.when(~state_false, a.err).otherwise(F.lit(ERR_NONE))
+                    )
+                if k >= 1:
+                    pair_ok = F.coalesce(self._cmp(c.fn, args[k - 1], a), F.lit(False))
+                    state_false = state_false | ((err == ERR_NONE) & ~pair_ok)
+            base["b"] = F.when(err == ERR_NONE, ~state_false)
             base["err"] = err
             return CV(vtype=F.lit(VT_BOOL), is_resource=False, **base)
 

@@ -51,10 +51,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
-        # parse-to-null semantics: the engine *detects* malformed literals
-        # (InvalidLiteral) instead of failing the job (reference F9 parse);
-        # ANSI would throw inside guarded when() branches after CSE.
-        .config("spark.sql.ansi.enabled", "false")
+        # ANSI stays ON (Spark 4 default, and the correctness-harness
+        # session config): the engine is ANSI-robust by construction —
+        # every data-dependent parse uses try_cast + null-safe datatype
+        # predicates, so malformed literals become InvalidLiteral error
+        # rows (reference F9 parse), never runtime crashes.
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")

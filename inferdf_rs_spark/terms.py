@@ -175,13 +175,21 @@ def resource_facets(terms: DataFrame, eq_mapping: DataFrame | None = None) -> Da
 
     dt = F.col("datatype")
     lex = F.col("lexical")
-    is_bool = dt == XSD_BOOLEAN
-    is_dec = dt.isin(list(XSD_DECIMAL_FAMILY))
-    is_str = dt == XSD_STRING
-    is_re = dt == REGEX_TYPE_IRI
+    # Null-safe datatype predicates: with a null datatype, ``dt.isin(...)``
+    # is NULL (not false) and ``And(null, x)`` still evaluates x — which
+    # under an ANSI-on session makes the decimal cast below throw on
+    # non-numeric lexicals.  The engine must be ANSI-robust regardless of
+    # session config, so every predicate is coalesced to false.
+    is_bool = F.coalesce(dt == XSD_BOOLEAN, F.lit(False))
+    is_dec = F.coalesce(dt.isin(list(XSD_DECIMAL_FAMILY)), F.lit(False))
+    is_str = F.coalesce(dt == XSD_STRING, F.lit(False))
+    is_re = F.coalesce(dt == REGEX_TYPE_IRI, F.lit(False))
 
     b = F.when(lex.isin("true", "1"), F.lit(True)).when(lex.isin("false", "0"), F.lit(False))
-    d = lex.cast(DECIMAL_T)
+    # try_cast, never cast: malformed decimals must become NULL (then an
+    # InvalidLiteral error row, matching reference
+    # src/expression/value/literal.rs:86-101) — not an ANSI runtime crash.
+    d = lex.try_cast(DECIMAL_T)
 
     parsed = lit.select(
         F.col("term_id").alias("res"),

@@ -223,6 +223,55 @@ def test_chained_comparison(spark):
     assert not mk(dec(1), dec(3), dec(2)).validate(ds).is_valid()
 
 
+def test_chained_comparison_false_masks_later_conversion_error(spark):
+    # Compare converts args to Comparable lazily: once an adjacent pair
+    # compares false the result is Ok(false) and later args are never
+    # converted (src/expression/mod.rs:284-299).  ?x carries an invalid
+    # decimal facet ("abc"^^xsd:int): (lt 3 2 ?x) ⇒ false, not error;
+    # (lt 1 2 ?x) must still surface the InvalidLiteral error.
+    from inferdf_rs_spark.schemas import XSD
+
+    bad = Term.literal("abc", XSD + "int")
+    ds = build_dataset(spark, [(blank("0"), iri(EX + "p"), bad)])
+    mk = lambda *args: System(  # noqa: E731
+        spark,
+        [
+            rule(
+                variables=2,
+                hypothesis=[pat("+", v(0), iri(EX + "p"), v(1))],
+                statements=[stmt_true("+", call("lt", *args))],
+            )
+        ],
+    )
+    vr = mk(dec(3), dec(2), v(1)).validate(ds)  # must NOT raise
+    assert not vr.is_valid()  # NotTrue (false), not ExpressionError
+    with pytest.raises(ExpressionError):
+        mk(dec(1), dec(2), v(1)).validate(ds)
+
+
+def test_facet_parse_ansi_robust(spark):
+    # The engine must never crash under an ANSI-on session: malformed
+    # decimals and null-datatype terms (IRIs) flow through resource_facets
+    # as InvalidLiteral / no-facet rows, not CAST_INVALID_INPUT errors.
+    # This is the driver-harness session config (regression: round-1
+    # compare_filter/regex_filter CAST_INVALID_INPUT at terms.py:184).
+    from inferdf_rs_spark.schemas import XSD, ERR_INVALID_LITERAL, ERR_NONE
+    from inferdf_rs_spark.terms import resource_facets, terms_df
+
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        bad = Term.literal("kg:n_chars", XSD + "int")  # malformed decimal
+        good = Term.literal("42", XSD + "int")
+        opaque = Term.iri(EX + "n_chars")  # datatype is NULL
+        tdf = terms_df(spark, [bad, good, opaque])
+        rows = {r.lex: r for r in resource_facets(tdf).collect()}
+        assert rows["kg:n_chars"].err == ERR_INVALID_LITERAL
+        assert rows["42"].err == ERR_NONE and rows["42"].d is not None
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
 def test_string_comparison_lexicographic(spark):
     ds = build_dataset(spark, [(blank("0"), iri(EX + "p"), blank("1"))])
     r = rule(
