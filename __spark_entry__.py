@@ -7,8 +7,9 @@ Rule-engine queries run the full engine path: bulk xxhash64 dictionary
 encoding → pattern-scan/join cascade → conclusion eval → decode back to
 lexical strings, so the oracle validates semantics end-to-end.
 
-Non-SQL-expressible ops (LSH-bucketed ANN, multimodal stubs) have no
-oracle entry → driver records the weaker rows-only check.
+The only op with no oracle entry is ``ann_lsh`` (approximate by
+construction) — its correctness signal is the recall-vs-exact harness
+in tests/test_extensions.py (recall ≥ 0.6 @ k=10 against ann_topk).
 """
 
 from __future__ import annotations
@@ -57,8 +58,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity
         "cosine_consecutive": Q.q_cosine_consecutive,
         "ann_topk": Q.q_ann_topk,
-        "ann_lsh": Q.q_ann_lsh,  # approximate — rows-only check
-        # multimodal plumbing (stub decode) — rows-only checks
+        "ann_lsh": Q.q_ann_lsh,  # approximate — recall harness in tests
+        # multimodal plumbing (deterministic stub decode — oracled)
         "multimodal_features": Q.q_multimodal_features,
         "multimodal_frames": Q.q_multimodal_frames,
     }
@@ -228,4 +229,17 @@ def oracle_sql() -> dict[str, str]:
         "PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored) "
         "SELECT query_id, neighbor_id, rank, floor(cos * 1000000)::BIGINT AS cosine_micro "
         "FROM r WHERE rank <= 10",
+        # ----- multimodal (stub decode is deterministic md5 math — fully
+        # oracle-expressible; payload is the utf-8 bytes of text, so
+        # DuckDB's md5/strlen over the VARCHAR see identical bytes)
+        "multimodal_features": "WITH m AS (SELECT doc_id AS media_id, "
+        "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, "
+        "strlen(text)::BIGINT AS n_bytes, md5(text) AS h FROM documents) "
+        "SELECT media_id, kind, n_bytes, i AS feat_idx, "
+        "('0x' || substr(h, (i * 4 + 1)::INT, 4))::BIGINT AS feat_u16 "
+        "FROM m CROSS JOIN (SELECT unnest(range(8)) AS i) r",
+        "multimodal_frames": "SELECT doc_id AS media_id, i AS frame_idx, "
+        "(i * 1000) AS ts_ms, md5(text || i::VARCHAR) AS frame_digest "
+        "FROM documents CROSS JOIN (SELECT unnest(range(3)) AS i) r "
+        "WHERE doc_id % 3 = 2",
     }

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -53,7 +54,13 @@ def _fake_decode(payload: bytes, dim: int = 8) -> list[float]:
 
 
 def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
-    """Decode + feature-extract via mapInPandas (Arrow-batched)."""
+    """Decode + feature-extract via mapInPandas (Arrow-batched).
+
+    CONTRACT for a real decoder: the whole batch arrives as one Arrow
+    record batch; the decode kernel must be batch-vectorized (libvips /
+    torchvision batched transforms), NOT a per-row Python loop — the
+    ``.map`` below is acceptable only because the fake md5 decode is
+    itself the per-element cost."""
 
     def op(batches):
         for pdf in batches:
@@ -71,16 +78,30 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
 
 def sample_frames(media: DataFrame, every_ms: int = 1000, n_frames: int = 3) -> DataFrame:
     """Frame-sampling stub for video payloads: emits n deterministic
-    frame rows per video (1→N row expansion inside mapInPandas)."""
+    frame rows per video (1→N row expansion inside mapInPandas).
+
+    The fake frame digest is md5(payload || ascii(frame_idx)) — chosen
+    to be reproducible by the DuckDB oracle (md5(text || i::VARCHAR))
+    so even the stub has a hard correctness check.  Row expansion is
+    vectorized (np.repeat/tile); only the digest itself is per-element
+    (same contract note as extract_features)."""
 
     def op(batches):
         for pdf in batches:
             vids = pdf[pdf["kind"] == "video"]
-            rows = []
-            for _, r in vids.iterrows():
-                for i in range(n_frames):
-                    digest = hashlib.md5((r["payload"] or b"") + bytes([i])).hexdigest()
-                    rows.append((int(r["media_id"]), i, i * every_ms, digest))
-            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "ts_ms", "frame_digest"])
+            n = len(vids)
+            idx = np.tile(np.arange(n_frames), n)
+            payloads = vids["payload"].to_numpy().repeat(n_frames)
+            yield pd.DataFrame(
+                {
+                    "media_id": vids["media_id"].to_numpy().repeat(n_frames),
+                    "frame_idx": idx,
+                    "ts_ms": idx * every_ms,
+                    "frame_digest": [
+                        hashlib.md5((p or b"") + str(i).encode()).hexdigest()
+                        for p, i in zip(payloads, idx)
+                    ],
+                }
+            )
 
     return media.mapInPandas(op, schema=FRAMES_SCHEMA)

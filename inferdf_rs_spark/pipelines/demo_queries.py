@@ -265,7 +265,9 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    out = similarity.lsh_bucket_ann(load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=10)
+    # dim=64 is the testdata embedding dimension (TESTDATA.md) — passed
+    # explicitly so the operator never probes the data from the driver
+    out = similarity.lsh_bucket_ann(load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=10, dim=64)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -273,11 +275,23 @@ def q_ann_lsh(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
+    # feature floats are x/65535 with x a u16 from md5 — emit the exact
+    # u16 per position so the DuckDB oracle compares integers, not floats
     from ..operators import multimodal
 
     media = multimodal.synth_media(spark, load(spark, sf_dir, "documents"))
-    return multimodal.extract_features(media).drop("feat").withColumn(
-        "n_bytes", F.col("n_bytes").cast("long")
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.posexplode("feat").alias("feat_idx", "fv"),
+    ).select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.col("feat_idx").cast("long").alias("feat_idx"),
+        F.round(F.col("fv") * 65535).cast("long").alias("feat_u16"),
     )
 
 
