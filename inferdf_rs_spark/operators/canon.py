@@ -90,12 +90,19 @@ def canonicalize_triples(triples: DataFrame, terms: DataFrame, iterations: int =
 def graph_signature(triples: DataFrame, terms: DataFrame, iterations: int = 5) -> int:
     """One int64 fingerprint of the canonicalized graph — equal for
     isomorphic graphs (mod WL's known limits on pathological automorphic
-    structures, which rule-minted KGs don't exhibit)."""
+    structures, which rule-minted KGs don't exhibit).
+
+    Fully distributed: per-row xxhash64 folded by the commutative
+    bit_xor aggregate (order-independent by construction, map-side
+    partial agg, no single-task collect_list of the whole graph)."""
     canon = canonicalize_triples(triples, terms, iterations)
     row = canon.agg(
-        F.xxhash64(F.sort_array(F.collect_list(F.struct("s", "p", "o", "sign")))).alias("h")
+        F.bit_xor(F.xxhash64("s", "p", "o", "sign")).alias("h"),
+        F.count(F.lit(1)).alias("n"),
     ).collect()[0]
-    return row.h
+    # mix in the row count so xor-cancelling graph pairs still differ
+    h = (row.h or 0) ^ (row.n * 0x9E3779B97F4A7C15)
+    return ((h + 2**63) % 2**64) - 2**63  # keep int64 range
 
 
 def pr_score(got: DataFrame, gold: DataFrame, got_terms: DataFrame, gold_terms: DataFrame, iterations: int = 5):

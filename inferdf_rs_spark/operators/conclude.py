@@ -170,11 +170,21 @@ def conclude(
         elif isinstance(s, TrueStmt):
             cv = comp.compile(s.e)
             ires, iterm = comp.instantiate(cv)
+            if cv.is_resource:
+                # Bare resource in a True statement: the reference's eval
+                # never errors on Expression::Resource — the V4 check
+                # scans only the resource's xsd:boolean facets
+                # (src/system/deduction.rs:132-153).  Do NOT fold facet
+                # parse errors (e.g. a malformed decimal facet) into verr;
+                # emit the resource and let the True check decide.
+                vtype_c, bval_c, verr_c = F.lit(VT_ANY), F.lit(None).cast("boolean"), F.lit(ERR_NONE)
+            else:
+                vtype_c, bval_c, verr_c = cv.vtype, cv.b, cv.err
             row = subst.select(
                 ires.alias("res"),
-                cv.vtype.alias("vtype"),
-                cv.b.alias("bval"),
-                cv.err.alias("verr"),
+                vtype_c.alias("vtype"),
+                bval_c.alias("bval"),
+                verr_c.alias("verr"),
                 sign.alias("sign"),
                 F.lit(rid).alias("rule_id"),
                 F.col("subst_hash"),

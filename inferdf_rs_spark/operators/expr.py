@@ -372,7 +372,10 @@ def expression_vars(e) -> set[int]:
 
 def statement_facet_vars(statements) -> set[int]:
     """Variables whose literal facets the compiler will need — any var
-    inside a Call (coercions/comparisons) or a True statement operand."""
+    inside a Call (coercions/comparisons).  A *bare* var in a True
+    statement needs no facet join: the reference's eval never touches
+    facets for Expression::Resource (the V4 True check reads boolean
+    facets from the terms dimension itself)."""
     need: set[int] = set()
     for st in statements:
         s = st.stmt
@@ -383,7 +386,6 @@ def statement_facet_vars(statements) -> set[int]:
             exprs = [s.a, s.b]
         elif isinstance(s, TrueStmt):
             exprs = [s.e]
-            need |= expression_vars(s.e)
         for e in exprs:
             if isinstance(e, Call):
                 need |= expression_vars(e)

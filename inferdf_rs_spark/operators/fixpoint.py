@@ -13,6 +13,23 @@ Here the loop is driver-side:
 Scale design:
 - the delta is small after round 1 → AQE broadcasts it into the
   store-side scans; the store itself is never re-shuffled per round;
+- **co-partitioned store pieces**: the store is kept as a list of
+  pieces, each hash-partitioned on the triple key and locally
+  checkpointed.  The per-round "new facts" anti-join chains over the
+  pieces, so the store side of every anti-join is exchange-free — only
+  the (small) conclusions stream shuffles each round.  Pieces compact
+  into one when the list grows past a threshold;
+- **one deduction per round**: the strict expression-error indicator is
+  folded into the same materialization as the new-facts delta (error
+  rows ride along with a negative ``cause_kind`` marker), instead of a
+  second full deduction job;
+- **per-delta rule dispatch** (reference ``BipolarMap`` pattern index,
+  src/pattern/map.rs:13-25, src/system/mod.rs:144-148): a rule runs in
+  a delta round only if at least one hypothesis slot can match a delta
+  triple — checked driver-side on the delta's distinct (sign, p) set
+  against the slot's sign and constant predicate;
+- large deltas spill: past ``delta_disk_threshold`` rows the piece
+  checkpoints use DISK_ONLY blocks (kills the all-deltas-in-RAM cliff);
 - every round's new facts and new terms are (optionally) appended as a
   parquet checkpoint with an atomically-updated meta file, so a killed
   job resumes between rounds (north_rule requirement);
@@ -53,7 +70,7 @@ def _deduce_round(
     spark: SparkSession,
     store: DataFrame,
     terms: DataFrame,
-    rules: list[Rule],
+    rules: list[tuple[int, Rule]],
     const_ids: dict,
     delta: DataFrame | None,
     round_num: int,
@@ -61,7 +78,7 @@ def _deduce_round(
 ) -> Concluded:
     facets = resource_facets(terms)
     batches = []
-    for idx, rule in enumerate(rules):
+    for idx, rule in rules:
         # distinct=False: duplicate substitutions (a binding reachable via
         # two delta slots) only duplicate conclusion rows, and those are
         # deduped once on the triple key downstream — one exchange per
@@ -69,6 +86,41 @@ def _deduce_round(
         subst = find_substitutions(store, rule, const_ids, delta=delta, distinct=False)
         batches.append(conclude(subst, rule, idx, const_ids, facets, round_num, functions))
     return merge_concluded(spark, batches)
+
+
+def _slot_can_feed(sp, const_ids: dict, pos_ps: set, neg_ps: set) -> bool:
+    """Can any delta triple match this hypothesis slot?  Driver-side
+    analogue of the reference's canonical-pattern dispatch
+    (src/pattern/map.rs:13-25): the slot's sign must have delta rows and
+    its predicate, when constant, must be among the delta's predicates.
+    (Constant s/o positions could prune further; predicate+sign is the
+    dominant case and keeps the delta probe to one tiny distinct.)"""
+    from ..rules import Var
+
+    ps = pos_ps if sp.sign else neg_ps
+    if not ps:
+        return False
+    p_node = sp.positions()[1]
+    if isinstance(p_node, Var):
+        return True
+    return const_ids.get(p_node) in ps
+
+
+def _dispatch_rules(
+    rules: list[Rule], const_ids: dict, delta: DataFrame | None
+) -> list[tuple[int, Rule]]:
+    """J3: prune rules no delta triple can feed (full-store rounds run all)."""
+    indexed = list(enumerate(rules))
+    if delta is None or len(rules) < 2:
+        return indexed
+    dps = delta.select("p", "sign").distinct().collect()
+    pos_ps = {r.p for r in dps if r.sign}
+    neg_ps = {r.p for r in dps if not r.sign}
+    return [
+        (i, r)
+        for i, r in indexed
+        if any(_slot_can_feed(sp, const_ids, pos_ps, neg_ps) for sp in r.hypothesis)
+    ]
 
 
 def _meta_path(d: str) -> str:
@@ -107,6 +159,9 @@ def fixpoint(
     checkpoint_dir: str | None = None,
     insert_negatives: bool = False,
     strict_errors: bool = True,
+    delta_disk_threshold: int = 2_000_000,
+    compact_pieces: int = 16,
+    store_broadcast_rows: int = 2_000_000,
 ) -> FixpointResult:
     """Run deduce→insert to fixpoint (U3/U4 + J2/J3).
 
@@ -115,7 +170,20 @@ def fixpoint(
     statements accumulate in side tables for the caller (the reference
     likewise leaves them to the caller — it only checks them in
     validation).  Set ``insert_negatives`` to also store negative facts.
+
+    ``delta_disk_threshold``: rounds whose previous delta exceeded this
+    many rows checkpoint to DISK_ONLY blocks instead of executor memory.
+    ``compact_pieces``: max number of co-partitioned store pieces before
+    they are compacted into one (a single store-size exchange, amortized
+    over that many rounds).
+    ``store_broadcast_rows``: while the accumulated store is at most this
+    many rows, the per-round new-facts anti-join broadcasts the store
+    (map-side, zero exchange — fastest at small scale); past it the loop
+    switches to the co-partitioned piece chain (zero *store-side*
+    exchange — the only plan that survives a store too big to broadcast).
     """
+    from pyspark.storagelevel import StorageLevel
+
     eqs = spark.createDataFrame([], EQS_SCHEMA)
     trues = spark.createDataFrame([], TRUES_SCHEMA)
     metrics: list[dict] = []
@@ -139,64 +207,122 @@ def fixpoint(
     else:
         delta = None  # round 1 = full deduce
 
-    store = store.localCheckpoint(eager=True)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def _piece(df: DataFrame, big: bool) -> DataFrame:
+        """Hash-partition on the triple key, sort within partitions, then
+        checkpoint: the captured LogicalRDD partitioning+ordering make
+        every later anti-join against this piece exchange-free AND
+        sort-free on the piece side (only the small conclusions stream
+        shuffles+sorts per round).  AQE is toggled off around the
+        checkpoint because AdaptiveSparkPlanExec does not expose the
+        final plan's partitioning to the Dataset.checkpoint capture
+        (verified: with AQE on the LogicalRDD reports
+        UnknownPartitioning and every round re-exchanges the store)."""
+        rp = df.repartition(n_part, *TRIPLE_KEY).sortWithinPartitions(*TRIPLE_KEY)
+        lvl = StorageLevel.DISK_ONLY if big else None
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            return rp.localCheckpoint(eager=True, storageLevel=lvl)
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+    base = store.localCheckpoint(eager=True)
+    store_rows = base.count()
+    large = store_rows > store_broadcast_rows
+    if large:
+        # _piece (AQE off for partitioning capture) reshuffles cached blocks
+        pieces = [_piece(base, big=True)]
+    else:
+        pieces = [base]
     terms = terms.localCheckpoint(eager=True)
     if delta is not None:
         delta = delta.localCheckpoint(eager=True)
+
+    def store_union() -> DataFrame:
+        out = pieces[0]
+        for pc in pieces[1:]:
+            out = out.unionByName(pc)
+        return out
 
     import sys
     import time as _time
 
     debug_timing = os.environ.get("INFERDF_DEBUG_TIMING") == "1"
-    # optional columnar scan cache over the store pieces — measured NO
-    # faster than the row-format localCheckpoint blocks on this workload
-    # (the per-round cache materialization pass costs more than the
-    # column-pruned scans save), so the checkpoint path stays the default
-    scan_cache = os.environ.get("INFERDF_STORE_CACHE", "ckpt") == "columnar"
-    cached_store = None
 
     rnd = start_round
+    last_new = 0
     while rnd < max_rounds:
         rnd += 1
-        if scan_cache:
-            prev_cache = cached_store
-            cached_store = store.persist()
-            scan_store = cached_store
-            if prev_cache is not None:
-                prev_cache.unpersist()
-        else:
-            scan_store = store
+        scan_store = store_union()
         _t0 = _time.perf_counter()
-        c = _deduce_round(spark, scan_store, terms, rules, const_ids, delta, rnd, functions)
-        if strict_errors and any(r.has_expressions() for r in rules):
-            bad = c.errors.limit(1).collect()
-            if bad:
-                raise ExpressionError(f"expression error in round {rnd}: {bad[0].asDict()}")
+        active = _dispatch_rules(rules, const_ids, delta)
+        c = _deduce_round(spark, scan_store, terms, active, const_ids, delta, rnd, functions)
 
         deduced = c.triples if insert_negatives else c.triples.filter(F.col("sign"))
         # dedup BEFORE the anti-join: dropDuplicates runs a map-side partial
         # aggregate that shrinks the conclusions stream before it hits the
-        # wire, and the anti-join then reuses the dedup's hash exchange on
-        # the same key — one fat shuffle instead of two (the conclusions
-        # stream carries lineage columns, ~100B/row; measured 10.8 GB of
-        # shuffle per fixpoint before this reorder)
-        new = (
-            deduced.dropDuplicates(TRIPLE_KEY)
-            .join(scan_store.select(*TRIPLE_KEY), on=TRIPLE_KEY, how="left_anti")
-            .localCheckpoint(eager=True)
-        )
+        # wire.  Small regime: one broadcast anti-join against the whole
+        # store (map-side, zero exchange).  Large regime: chained anti-joins
+        # against co-partitioned pieces → zero *store-side* exchange per
+        # round (only the conclusions stream shuffles) — the plan that
+        # survives a store too big to broadcast.
+        new = deduced.dropDuplicates(TRIPLE_KEY)
+        if large:
+            for pc in pieces:
+                new = new.join(pc.select(*TRIPLE_KEY), on=TRIPLE_KEY, how="left_anti")
+        else:
+            new = new.join(
+                F.broadcast(scan_store.select(*TRIPLE_KEY)), on=TRIPLE_KEY, how="left_anti"
+            )
+
+        # fold the strict-error indicator into the same materialization as
+        # the delta (error rows ride along with cause_kind < 0) — one
+        # deduction computation per round, not two.  The deduction runs
+        # under AQE in this localCheckpoint; the following _piece shuffle
+        # (AQE off for partitioning capture) only re-reads its blocks.
+        check_errors = strict_errors and any(r.has_expressions() for _, r in active)
+        if check_errors:
+            err_rows = c.errors.select(
+                F.lit(None).cast("long").alias("s"),
+                F.lit(None).cast("long").alias("p"),
+                F.lit(None).cast("long").alias("o"),
+                F.lit(True).alias("sign"),
+                (-F.col("err")).cast("int").alias("cause_kind"),
+                F.col("rule_id"),
+                F.col("subst_hash"),
+                F.lit(rnd).cast("int").alias("round"),
+                F.lit("err").alias("src_partition"),
+            )
+            combined = new.unionByName(err_rows).localCheckpoint(eager=True)
+            bad = combined.filter(F.col("cause_kind") < 0).limit(1).collect()
+            if bad:
+                raise ExpressionError(
+                    f"expression error in round {rnd}: err={-bad[0].cause_kind} "
+                    f"rule_id={bad[0].rule_id} subst_hash={bad[0].subst_hash}"
+                )
+            new_src = combined.filter(F.col("cause_kind") >= 0)
+        else:
+            new_src = new.localCheckpoint(eager=True)
+        if large:
+            new = _piece(new_src, big=last_new > delta_disk_threshold)
+        else:
+            new = new_src  # (a filter over) checkpointed blocks
         n_new = new.count()
+        last_new = n_new
         if debug_timing:
             sys.stderr.write(
-                f"[fixpoint] round={rnd} new={n_new} deduce+anti+ckpt={_time.perf_counter() - _t0:.2f}s\n"
+                f"[fixpoint] round={rnd} new={n_new} rules={[i for i, _ in active]} "
+                f"deduce+anti+ckpt={_time.perf_counter() - _t0:.2f}s\n"
             )
 
         # static rule analysis: skip side-channel actions (term minting,
-        # Eq/True accumulation) when no rule can produce them — saves
-        # several Spark jobs per round on projection-only rule systems
-        any_mints = any(r.mints_terms() for r in rules)
-        any_eqs = any(r.has_eq_statements() for r in rules)
-        any_trues = any(r.has_true_statements() for r in rules)
+        # Eq/True accumulation) when no active rule can produce them —
+        # saves several Spark jobs per round on projection-only systems
+        any_mints = any(r.mints_terms() for _, r in active)
+        any_eqs = any(r.has_eq_statements() for _, r in active)
+        any_trues = any(r.has_true_statements() for _, r in active)
 
         new_terms = spark.createDataFrame([], TERMS_SCHEMA)
         if any_mints:
@@ -214,7 +340,7 @@ def fixpoint(
             round_trues = round_trues.localCheckpoint(eager=True)
             trues = trues.unionByName(round_trues).dropDuplicates()
 
-        metrics.append({"round": rnd, "new_facts": n_new})
+        metrics.append({"round": rnd, "new_facts": n_new, "rules_run": [i for i, _ in active]})
         done = n_new == 0
 
         if checkpoint_dir:
@@ -235,17 +361,23 @@ def fixpoint(
 
         if done:
             break
-        store = store.unionByName(new)
-        terms = merge_terms(terms, new_terms)
+        store_rows += n_new
+        pieces.append(new)
+        if not large and store_rows > store_broadcast_rows:
+            # crossed the broadcastable horizon: switch to co-partitioned
+            # pieces (one store-size exchange, then exchange-free rounds)
+            large = True
+            pieces = [_piece(store_union(), big=True)]
+        elif large and len(pieces) > compact_pieces:
+            # one store-size exchange, amortized over compact_pieces rounds
+            pieces = [_piece(store_union(), big=True)]
+        if any_mints:
+            terms = merge_terms(terms, new_terms)
+            if rnd % 8 == 0:
+                terms = terms.localCheckpoint(eager=True)
         delta = new
-        if rnd % 8 == 0:
-            # compact the union-of-deltas plan periodically
-            store = store.localCheckpoint(eager=True)
-            terms = terms.localCheckpoint(eager=True)
 
-    if cached_store is not None:
-        cached_store.unpersist()  # data lives in the checkpointed pieces
-    return FixpointResult(store, terms, eqs, trues, rnd, metrics)
+    return FixpointResult(store_union(), terms, eqs, trues, rnd, metrics)
 
 
 def load_checkpoint(spark: SparkSession, checkpoint_dir: str):

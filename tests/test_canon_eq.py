@@ -25,6 +25,32 @@ def test_eq_closure_long_chain(spark):
     assert all(v == 0 for v in m.values())
 
 
+def test_eq_closure_long_chain_logarithmic_rounds(spark):
+    # Shiloach-Vishkin hook+jump: a 2048-node sameAs chain must converge
+    # in ~log2(n) rounds — one-hop propagation would need n-1 ≫ max_iter
+    import math
+
+    from inferdf_rs_spark.operators.eqclosure import eq_closure_with_rounds
+
+    n = 2048
+    pairs = spark.range(n - 1).selectExpr("id as a", "id + 1 as b")
+    mapping, rounds = eq_closure_with_rounds(pairs, max_iter=40)
+    assert rounds <= math.ceil(math.log2(n)) + 5, f"{rounds} rounds for n={n}"
+    # spot-check convergence: the far end maps to 0
+    tail = mapping.filter(f"term_id >= {n - 5}")
+    assert all(r.res == 0 for r in tail.collect())
+
+
+def test_eq_closure_raises_on_non_convergence(spark):
+    import pytest
+
+    from inferdf_rs_spark.operators.eqclosure import eq_closure
+
+    pairs = spark.range(63).selectExpr("id as a", "id + 1 as b")  # 64-chain
+    with pytest.raises(RuntimeError, match="converge"):
+        eq_closure(pairs, max_iter=2)
+
+
 def test_apply_eq_mapping_dedups(spark):
     ds = build_dataset(
         spark,

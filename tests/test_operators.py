@@ -305,6 +305,60 @@ def test_transitive_closure_fixpoint(spark):
     assert res2.rounds == 1 and res2.store.count() == 15
 
 
+def test_fixpoint_large_regime_copartitioned_pieces(spark):
+    # store_broadcast_rows=0 forces the 100 TB plan — co-partitioned,
+    # sorted store pieces with chained exchange-free anti-joins — which
+    # must produce exactly the same closure as the broadcast plan
+    chain = [(blank(str(i)), iri(EX + "anc"), blank(str(i + 1))) for i in range(5)]
+    ds = build_dataset(spark, chain)
+    r = rule(
+        variables=3,
+        hypothesis=[
+            pat("+", v(0), iri(EX + "anc"), v(1)),
+            pat("+", v(1), iri(EX + "anc"), v(2)),
+        ],
+        statements=[stmt_triple("+", v(0), iri(EX + "anc"), v(2))],
+    )
+    sysm = System(spark, [r])
+    res_small = sysm.fixpoint(ds)
+    res_large = sysm.fixpoint(ds, store_broadcast_rows=0, compact_pieces=2)
+    got_s = sorted(map(tuple, res_small.store.select("s", "p", "o").collect()))
+    got_l = sorted(map(tuple, res_large.store.select("s", "p", "o").collect()))
+    assert got_s == got_l and len(got_l) == 15
+
+
+def test_fixpoint_per_delta_rule_dispatch(spark):
+    # J3 parity (reference BipolarMap dispatch, src/pattern/map.rs:13-25):
+    # two predicate-disjoint rules — once the delta contains only <#anc>
+    # facts, the <#other>-rule must be pruned from later rounds (asserted
+    # via the per-round rules_run metric).
+    chain = [(blank(str(i)), iri(EX + "anc"), blank(str(i + 1))) for i in range(4)]
+    other = [(blank("x"), iri(EX + "other"), blank("y"))]
+    ds = build_dataset(spark, chain + other)
+    r_anc = rule(
+        variables=3,
+        hypothesis=[
+            pat("+", v(0), iri(EX + "anc"), v(1)),
+            pat("+", v(1), iri(EX + "anc"), v(2)),
+        ],
+        statements=[stmt_triple("+", v(0), iri(EX + "anc"), v(2))],
+    )
+    r_other = rule(
+        variables=2,
+        hypothesis=[pat("+", v(0), iri(EX + "other"), v(1))],
+        statements=[stmt_triple("+", v(1), iri(EX + "other2"), v(0))],
+    )
+    sysm = System(spark, [r_anc, r_other])
+    res = sysm.fixpoint(ds)
+    # round 1 (full) runs both; every delta round's delta is anc/other2
+    # only, so rule 1 (<#other> hypothesis) must not run again
+    assert res.metrics[0]["rules_run"] == [0, 1]
+    for m in res.metrics[1:]:
+        assert 1 not in m["rules_run"], f"rule 1 not pruned in round {m['round']}"
+    # closure is still complete: C(5,2)=10 anc facts + 1 other + 1 other2
+    assert res.store.count() == 12
+
+
 def test_fixpoint_checkpoint_resume(spark, tmp_path):
     # kill-and-resume between rounds (north_rule resumability)
     chain = [(blank(str(i)), iri(EX + "anc"), blank(str(i + 1))) for i in range(5)]
