@@ -89,16 +89,29 @@ class System:
         return terms_df(self.spark, consts)
 
     # ------------------------------------------------------------ entry 2
-    def deduce(self, ds: Dataset, delta: DataFrame | None = None, round_num: int = 0) -> Concluded:
+    def deduce(
+        self,
+        ds: Dataset,
+        delta: DataFrame | None = None,
+        round_num: int = 0,
+        subst_lineage: bool = False,
+    ) -> Concluded:
         """One deduction round (System::deduce, src/system/mod.rs:110-119);
         pass ``delta`` for the seeded semi-naive variant (deduce_from_triple,
-        src/system/mod.rs:124-149)."""
+        src/system/mod.rs:124-149).  ``subst_lineage=True`` emits the dense
+        binding vector per triple (``subst: array<long>``, reference
+        Entailment payload src/cause.rs:28-34) for provenance replay."""
         facets = resource_facets(ds.terms)
         cids = self.const_ids()
         batches = []
         for idx, rule in enumerate(self.rules):
             subst = find_substitutions(ds.triples, rule, cids, delta=delta)
-            batches.append(conclude(subst, rule, idx, cids, facets, round_num, self.functions))
+            batches.append(
+                conclude(
+                    subst, rule, idx, cids, facets, round_num, self.functions,
+                    subst_lineage=subst_lineage,
+                )
+            )
         return merge_concluded(self.spark, batches)
 
     def fixpoint(self, ds: Dataset, **kw) -> FixpointResult:

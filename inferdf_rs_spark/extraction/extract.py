@@ -62,15 +62,82 @@ def verify_fidelity(pages_with_extracted: DataFrame) -> int:
     ).count()
 
 
-def make_mention_detector(alias_list: list[str]):
-    """Build a batched mention detector closed over the alias vocabulary.
+_NORM_RE = re.compile(r"[^a-z0-9]+")
+
+# above this vocabulary size the compiled-alternation regex explodes in
+# compile time/memory (re.compile over ≥100k escaped alternatives) — the
+# token-trie path takes over (Aho-Corasick-over-tokens equivalent for
+# boundary-anchored, non-overlapping leftmost-longest matching)
+REGEX_GAZETTEER_MAX = 1024
+
+_TRIE_TERM = ""  # terminal marker key inside trie nodes
+_TRIE_CACHE: dict[int, dict] = {}  # per-worker: one built trie per broadcast value
+
+
+def _build_token_trie(aliases: list[str]) -> dict:
+    root: dict = {}
+    for a in aliases:
+        node = root
+        for tok in _NORM_RE.sub(" ", a.lower()).split():
+            node = node.setdefault(tok, {})
+        node[_TRIE_TERM] = a
+    return root
+
+
+def _trie_for(aliases: list[str]) -> dict:
+    # bc.value is deserialized once per worker process → stable id()
+    key = id(aliases)
+    trie = _TRIE_CACHE.get(key)
+    if trie is None:
+        trie = _build_token_trie(aliases)
+        _TRIE_CACHE.clear()
+        _TRIE_CACHE[key] = trie
+    return trie
+
+
+def _match_tokens(toks: list[str], trie: dict) -> list[str]:
+    """Leftmost-longest non-overlapping token-sequence match (identical
+    semantics to the longest-first alternation regex, including the
+    distinct/first-occurrence output order)."""
+    out: list[str] = []
+    seen: set[str] = set()
+    i, n = 0, len(toks)
+    while i < n:
+        node, j = trie, i
+        best, best_end = None, i
+        while j < n and toks[j] in node:
+            node = node[toks[j]]
+            j += 1
+            if _TRIE_TERM in node:
+                best, best_end = node[_TRIE_TERM], j
+        if best is not None:
+            if best not in seen:
+                seen.add(best)
+                out.append(best)
+            i = best_end
+        else:
+            i += 1
+    return out
+
+
+def make_mention_detector(alias_list: list[str], spark=None):
+    """Build a batched mention detector over the alias vocabulary.
 
     Semantics: **leftmost-longest (maximal-munch) token-sequence match**
     over the normalized (lowercased, non-alnum→space) text — the
-    standard gazetteer-NER matching rule.  Implemented as ONE compiled
-    alternation regex (longest alternatives first) evaluated by pandas'
-    C string machinery — no per-token Python loops.  Output: distinct
-    surfaces in first-occurrence order (deterministic)."""
+    standard gazetteer-NER matching rule.  Output: distinct surfaces in
+    first-occurrence order (deterministic).
+
+    Two physical paths with identical semantics (parity-tested):
+    - ≤ REGEX_GAZETTEER_MAX aliases: ONE compiled alternation regex
+      (longest alternatives first) evaluated by pandas' C string
+      machinery;
+    - larger: the vocabulary ships via ``sparkContext.broadcast`` (one
+      copy per executor, not per task closure) and matching walks a
+      token trie built once per worker — Aho-Corasick-equivalent for
+      this anchored non-overlapping discipline, linear in tokens, and
+      immune to the alternation-regex compile blow-up at 10⁵-10⁶
+      aliases."""
     if not alias_list:
         empty = [[]]
 
@@ -80,16 +147,30 @@ def make_mention_detector(alias_list: list[str]):
 
         return detect_none
 
-    alts = "|".join(re.escape(a) for a in sorted(alias_list, key=lambda a: (-len(a), a)))
-    pat = re.compile(rf"(?<![a-z0-9])(?:{alts})(?![a-z0-9])")
-    norm = re.compile(r"[^a-z0-9]+")
+    if len(alias_list) <= REGEX_GAZETTEER_MAX:
+        alts = "|".join(re.escape(a) for a in sorted(alias_list, key=lambda a: (-len(a), a)))
+        pat = re.compile(rf"(?<![a-z0-9])(?:{alts})(?![a-z0-9])")
+
+        @F.pandas_udf(T.ArrayType(T.StringType()))
+        def detect(text: pd.Series) -> pd.Series:
+            normed = text.fillna("").str.lower().str.replace(_NORM_RE, " ", regex=True)
+            return normed.str.findall(pat).map(lambda xs: list(dict.fromkeys(xs)))
+
+        return detect
+
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+    bc = spark.sparkContext.broadcast(sorted(alias_list))
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
-    def detect(text: pd.Series) -> pd.Series:
-        normed = text.fillna("").str.lower().str.replace(norm, " ", regex=True)
-        return normed.str.findall(pat).map(lambda xs: list(dict.fromkeys(xs)))
+    def detect_trie(text: pd.Series) -> pd.Series:
+        trie = _trie_for(bc.value)
+        normed = text.fillna("").str.lower().str.replace(_NORM_RE, " ", regex=True)
+        return normed.map(lambda s: _match_tokens(s.split(), trie))
 
-    return detect
+    return detect_trie
 
 
 def best_links(alias_dict: DataFrame) -> DataFrame:
@@ -114,7 +195,7 @@ def link_mentions(pages: DataFrame, alias_dict: DataFrame, text_col: str = "text
 
     Returns (url, surface, iri, score)."""
     aliases = [r.alias for r in alias_dict.select("alias").distinct().collect()]
-    detect = make_mention_detector(aliases)
+    detect = make_mention_detector(aliases, spark=pages.sparkSession)
     mentions = pages.select(
         "url", F.explode(detect(F.col(text_col))).alias("surface")
     )

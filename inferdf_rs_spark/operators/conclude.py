@@ -71,8 +71,17 @@ def conclude(
     facets: DataFrame,
     round_num: int = 0,
     functions: dict | None = None,
+    subst_lineage: bool = False,
 ) -> Concluded:
-    """Evaluate one rule's conclusions over its substitutions DataFrame."""
+    """Evaluate one rule's conclusions over its substitutions DataFrame.
+
+    ``subst_lineage=True`` additionally stores the dense binding vector
+    (``subst: array<long>``, index = rule var, null = unbound) on every
+    emitted triple — the reference's ``Vec<Option<T>>`` substitution
+    payload (src/pattern/mod.rs:99-119, src/cause.rs:28-34), enabling
+    "why does this fact exist" replay.  Off by default: it fattens the
+    per-round shuffle by ~8B×variables/row, and the fixpoint only needs
+    the hash."""
     spark = subst.sparkSession
     rid = rule.rule_id
     hyp_vars = sorted(rule.hypothesis_vars())
@@ -85,6 +94,17 @@ def conclude(
         )
     else:
         subst = subst.withColumn("subst_hash", F.xxhash64(F.lit(rid)))
+    if subst_lineage:
+        hv = set(hyp_vars)
+        subst = subst.withColumn(
+            "_subst_vec",
+            F.array(
+                *[
+                    F.col(f"v{i}") if i in hv else F.lit(None).cast("long")
+                    for i in range(rule.variables)
+                ]
+            ),
+        )
 
     # mint fresh existential resources: deterministic per (rule, subst, var)
     minted_terms = []
@@ -121,6 +141,7 @@ def conclude(
             cvs = [comp.compile(e) for e in (s.s, s.p, s.o)]
             insts = [comp.instantiate(cv) for cv in cvs]
             err = _fold_errs([cv.err for cv in cvs])
+            lineage_cols = [F.col("_subst_vec").alias("subst")] if subst_lineage else []
             row = subst.select(
                 insts[0][0].alias("s"),
                 insts[1][0].alias("p"),
@@ -131,6 +152,7 @@ def conclude(
                 F.col("subst_hash"),
                 F.lit(round_num).alias("round"),
                 F.lit(f"r{rule_idx}").alias("src_partition"),
+                *lineage_cols,
                 err.alias("_err"),
                 F.array(*[i[1] for i in insts]).alias("_terms"),
             )
@@ -213,8 +235,16 @@ def conclude(
 
     from ..schemas import TRIPLES_SCHEMA, TERMS_SCHEMA
 
+    triples_schema = TRIPLES_SCHEMA
+    if subst_lineage:
+        import pyspark.sql.types as _T
+
+        triples_schema = _T.StructType(
+            TRIPLES_SCHEMA.fields + [_T.StructField("subst", _T.ArrayType(_T.LongType()), True)]
+        )
+
     return Concluded(
-        triples=u(triples_parts, TRIPLES_SCHEMA),
+        triples=u(triples_parts, triples_schema),
         eqs=u(eqs_parts, "a bigint, b bigint, sign boolean, rule_id bigint, subst_hash bigint"),
         trues=u(
             trues_parts,

@@ -162,6 +162,8 @@ def fixpoint(
     delta_disk_threshold: int = 2_000_000,
     compact_pieces: int = 16,
     store_broadcast_rows: int = 2_000_000,
+    initial_delta: DataFrame | None = None,
+    allow_partial: bool = False,
 ) -> FixpointResult:
     """Run deduce→insert to fixpoint (U3/U4 + J2/J3).
 
@@ -181,6 +183,14 @@ def fixpoint(
     (map-side, zero exchange — fastest at small scale); past it the loop
     switches to the co-partitioned piece chain (zero *store-side*
     exchange — the only plan that survives a store too big to broadcast).
+    ``initial_delta``: start delta-seeded instead of with a full deduce —
+    the streaming incremental-maintenance path (the store is already
+    closed; only delta-touching derivations can be new).  Ignored when
+    resuming from a checkpoint.
+    ``allow_partial``: by default the loop RAISES if max_rounds is
+    exhausted before the delta empties (a silent non-fixpoint is an
+    incomplete closure, i.e. a wrong result); pass True to accept the
+    partial store.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -205,7 +215,7 @@ def fixpoint(
         if meta.get("done"):
             return FixpointResult(store, terms, eqs, trues, start_round, metrics)
     else:
-        delta = None  # round 1 = full deduce
+        delta = initial_delta  # None ⇒ round 1 = full deduce
 
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
@@ -253,6 +263,7 @@ def fixpoint(
 
     rnd = start_round
     last_new = 0
+    done = True  # loop may not run at all (resume at cap)
     while rnd < max_rounds:
         rnd += 1
         scan_store = store_union()
@@ -377,6 +388,12 @@ def fixpoint(
                 terms = terms.localCheckpoint(eager=True)
         delta = new
 
+    if not done and not allow_partial:
+        raise RuntimeError(
+            f"fixpoint did not converge within max_rounds={max_rounds} "
+            f"(last delta={last_new} facts) — the closure is incomplete; "
+            "raise max_rounds or pass allow_partial=True"
+        )
     return FixpointResult(store_union(), terms, eqs, trues, rnd, metrics)
 
 

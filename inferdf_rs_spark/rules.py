@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import re as _re
 from dataclasses import dataclass, field
 
 from .terms import Term
@@ -26,6 +27,47 @@ from .terms import Term
 # src/expression/mod.rs:207-220, 315-334)
 BUILTINS = {"or", "and", "eq", "ne", "lt", "leq", "gt", "geq", "matches"}
 COMPARE_OPS = {"eq", "ne", "lt", "leq", "gt", "geq"}
+
+
+# Regex-dialect lint (SURVEY §2.5 F4): the reference evaluates Matches
+# with the Rust `regex` crate (src/expression/value/regex.rs:19-30); we
+# evaluate with the JVM's java.util.regex.  Rules must stay in the
+# common subset, so constructs that exist in only one dialect (or change
+# meaning) are rejected at load time rather than silently diverging:
+# backreferences / lookaround / atomic groups / possessive quantifiers
+# (Java-only — Rust's regex crate has none of them) and Java-only escapes.
+_REGEX_DIALECT_DIVERGENT = _re.compile(
+    r"""
+    \\[1-9]          # numbered backreference (Java-only)
+  | \\k<             # named backreference (Java-only)
+  | \(\?=            # lookahead
+  | \(\?!            # negative lookahead
+  | \(\?<=           # lookbehind
+  | \(\?<!           # negative lookbehind
+  | \(\?>            # atomic group (Java-only)
+  | (?:[*+?}])\+     # possessive quantifier *+ ++ ?+ {n}+ (Java-only)
+  | \\[GhHRXv]       # Java-only escapes (\v is vertical-ws class in Java,
+                     #  VT char in Rust — meaning diverges)
+    """,
+    _re.VERBOSE,
+)
+
+
+def lint_regex_dialect(pattern: str) -> None:
+    """Reject regexes outside the Rust-regex ∩ java.util.regex common
+    subset; also reject anything Python's re cannot compile (syntax
+    errors diverge unpredictably between engines)."""
+    m = _REGEX_DIALECT_DIVERGENT.search(pattern)
+    if m:
+        raise ValueError(
+            f"regex {pattern!r} uses {m.group(0)!r}: outside the Rust/Java common "
+            "dialect subset (backrefs, lookaround, atomic groups, possessive "
+            "quantifiers and Java-only escapes are rejected at rule load)"
+        )
+    try:
+        _re.compile(pattern)
+    except _re.error as e:
+        raise ValueError(f"regex {pattern!r} does not compile: {e}") from e
 
 
 @dataclass(frozen=True)
@@ -206,9 +248,39 @@ class Rule:
     def has_true_statements(self) -> bool:
         return any(isinstance(st.stmt, TrueStmt) for st in self.conclusion.statements)
 
+    def regex_literals(self) -> list[str]:
+        """All regex patterns appearing in this rule (expression literals
+        with space='regex' and constant Terms typed with the spruceid
+        Regex IRI)."""
+        from .schemas import REGEX_TYPE_IRI
+
+        out: list[str] = []
+
+        def walk(e):
+            if isinstance(e, Lit) and e.space == "regex":
+                out.append(e.value)
+            elif isinstance(e, Term) and e.datatype == REGEX_TYPE_IRI:
+                out.append(e.lexical)
+            elif isinstance(e, Call):
+                for a in e.args:
+                    walk(a)
+
+        for st in self.conclusion.statements:
+            s = st.stmt
+            if isinstance(s, TripleStmt):
+                walk(s.s), walk(s.p), walk(s.o)
+            elif isinstance(s, EqStmt):
+                walk(s.a), walk(s.b)
+            else:
+                walk(s.e)
+        return out
+
     def validate(self) -> None:
         """Load-time variable sanity (the reference panics at eval time on
-        an unbound conclusion var — src/system/deduction.rs:234 unwrap)."""
+        an unbound conclusion var — src/system/deduction.rs:234 unwrap),
+        plus the regex-dialect lint."""
+        for rx in self.regex_literals():
+            lint_regex_dialect(rx)
         hvars = self.hypothesis_vars()
         for x in hvars:
             if x >= self.variables:

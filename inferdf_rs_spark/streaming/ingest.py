@@ -28,7 +28,14 @@ from ..terms import merge_terms
 
 
 class StreamingGraph:
-    """Accumulates a closed graph from a stream of page batches."""
+    """Accumulates a closed graph from a stream of page batches.
+
+    Every batch runs through ``operators.fixpoint.fixpoint`` — the first
+    with a full deduce, later ones seeded with the batch delta
+    (``initial_delta``) — so the incremental path shares ALL of the batch
+    path's semantics: minted-term accumulation into the dictionary,
+    Eq/True side tables, strict expression errors, rule dispatch, and
+    the raise-on-round-cap guarantee (no silent partial closure)."""
 
     def __init__(self, spark: SparkSession, system: System, out_dir: str):
         self.spark = spark
@@ -36,9 +43,13 @@ class StreamingGraph:
         self.out_dir = out_dir
         self.store: DataFrame | None = None
         self.terms: DataFrame | None = None
+        self.eqs: DataFrame | None = None
+        self.trues: DataFrame | None = None
         self.batches = 0
 
     def process_batch(self, edges: DataFrame, epoch_id: int) -> None:
+        from ..operators.fixpoint import fixpoint
+
         ds = encode_edges(self.spark, edges, src_partition=f"stream:{epoch_id}")
         new_triples = ds.triples.dropDuplicates(TRIPLE_KEY).localCheckpoint(eager=True)
         new_terms = ds.terms.localCheckpoint(eager=True)
@@ -51,47 +62,25 @@ class StreamingGraph:
             delta = new_triples.join(self.store.select(*TRIPLE_KEY), TRIPLE_KEY, "left_anti")
             store = self.store.unionByName(delta)
             terms = merge_terms(self.terms, new_terms)
-            res = self._incremental_rounds(store, terms, delta)
+            res = fixpoint(
+                self.spark,
+                store,
+                terms,
+                self.system.rules,
+                self.system.const_ids(),
+                self.system.functions,
+                initial_delta=delta,
+            )
         self.store = res.store.localCheckpoint(eager=True)
         self.terms = res.terms.localCheckpoint(eager=True)
+        self.eqs = res.eqs if self.eqs is None else self.eqs.unionByName(res.eqs).dropDuplicates()
+        self.trues = (
+            res.trues if self.trues is None else self.trues.unionByName(res.trues).dropDuplicates()
+        )
         self.batches += 1
-
-    def _incremental_rounds(self, store, terms, delta):
-        # same semi-naive loop, seeded by the batch delta: the accumulated
-        # store is already closed, so round 1 only matches substitutions
-        # touching the delta
-        return _seeded_fixpoint(self.spark, store, terms, delta, self.system)
 
     def counts(self) -> tuple[int, int]:
         return (self.store.count() if self.store is not None else 0, self.batches)
-
-
-def _seeded_fixpoint(spark, store, terms, delta, system: System):
-    """Semi-naive continuation: like fixpoint() but round 1 is already
-    delta-seeded (the store is closed; only delta-touching derivations
-    can be new)."""
-    from ..operators.fixpoint import FixpointResult, _deduce_round
-
-    cids = system.const_ids()
-    rnd = 0
-    cur_delta = delta
-    metrics = []
-    while rnd < 50:
-        rnd += 1
-        c = _deduce_round(spark, store, terms, system.rules, cids, cur_delta, rnd, system.functions)
-        new = (
-            c.triples.filter(F.col("sign"))
-            .join(store.select(*TRIPLE_KEY), TRIPLE_KEY, "left_anti")
-            .dropDuplicates(TRIPLE_KEY)
-            .localCheckpoint(eager=True)
-        )
-        n_new = new.count()
-        metrics.append({"round": rnd, "new_facts": n_new})
-        if n_new == 0:
-            break
-        store = store.unionByName(new)
-        cur_delta = new
-    return FixpointResult(store, terms, None, None, rnd, metrics)
 
 
 def stream_pages_to_graph(

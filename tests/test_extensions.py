@@ -114,6 +114,54 @@ def F_array_dummy():
     return F.array(F.lit(0.0)).alias("embedding")
 
 
+def test_streaming_accumulates_minted_terms_and_eqs(spark):
+    """Incremental batches with a rule system that mints existentials and
+    emits Eq pairs: every term id in the accumulated store must resolve
+    in the accumulated dictionary, and Eq conclusions must survive the
+    seeded path (regression: the old seeded loop dropped both)."""
+    from inferdf_rs_spark.encode import iri_edges
+    from inferdf_rs_spark.rules import stmt_eq, stmt_triple
+    from inferdf_rs_spark.streaming.ingest import StreamingGraph
+
+    EXK = "https://example.org/k#"
+    r_mint = rule(
+        variables=2,
+        hypothesis=[pat("+", v(0), iri(EXK + "a"), v(1))],
+        statements=[stmt_triple("+", v(0), iri(EXK + "b"), v(2))],
+        existentials=1,
+    )
+    r_eq = rule(
+        variables=2,
+        hypothesis=[pat("+", v(0), iri(EXK + "same"), v(1))],
+        statements=[stmt_eq("+", v(0), v(1))],
+    )
+    sysm = System(spark, [r_mint, r_eq])
+    sg = StreamingGraph(spark, sysm, out_dir="/tmp/unused")
+
+    def batch(rows):
+        return iri_edges(
+            spark.createDataFrame(rows, "s_lex string, p_lex string, o_lex string")
+        )
+
+    sg.process_batch(batch([(EXK + "x1", EXK + "a", EXK + "y1")]), 0)
+    sg.process_batch(
+        batch([(EXK + "x2", EXK + "a", EXK + "y2"), (EXK + "x2", EXK + "same", EXK + "y2")]), 1
+    )
+    # every id referenced by the store resolves in the dictionary
+    ids = (
+        sg.store.selectExpr("s AS t")
+        .unionByName(sg.store.selectExpr("p AS t"))
+        .unionByName(sg.store.selectExpr("o AS t"))
+        .dropDuplicates()
+    )
+    unresolved = ids.join(sg.terms.selectExpr("term_id AS t"), "t", "left_anti").count()
+    assert unresolved == 0
+    # both batches minted one existential each → 2 kg:b facts
+    assert sg.store.filter("rule_id IS NOT NULL").count() == 2
+    # the Eq conclusion from the seeded batch survived
+    assert sg.eqs is not None and sg.eqs.count() == 1
+
+
 def test_streaming_incremental_graph(spark, tmp_path):
     """Two page micro-batches; the incremental graph equals the batch
     pipeline's fixpoint over the union."""

@@ -282,6 +282,56 @@ def test_string_comparison_lexicographic(spark):
     assert System(spark, [r]).validate(ds).is_valid()
 
 
+def test_regex_dialect_lint_rejects_divergent():
+    # F4: the reference evaluates with Rust `regex`, we evaluate on the
+    # JVM — rules using constructs outside the common subset must be
+    # rejected at load, not silently diverge at eval
+    from inferdf_rs_spark.rules import call, regex, stmt_true, lint_regex_dialect
+
+    for bad in [r"(a)\1", r"(?=x)y", r"(?<!a)b", r"a(?>bc)", r"a++", r"\Gx", r"[a-"]:
+        with pytest.raises(ValueError):
+            rule(
+                variables=1,
+                hypothesis=[pat("+", v(0), iri(EX + "p"), v(0))],
+                statements=[stmt_true("+", call("matches", regex(bad), s_("x")))],
+            ).validate()
+    # common-subset patterns pass
+    for ok in [r"^me[a-z]*$", r"\d{2,4}", r"(?i)foo|bar", r"(?P<y>\d+)"]:
+        lint_regex_dialect(ok)
+
+
+def test_subst_vector_lineage(spark):
+    # P6: optional dense binding vector (reference Vec<Option<T>>,
+    # src/pattern/mod.rs:99-119, src/cause.rs:28-34) — reconstruct the
+    # bindings of a deduced fact from its subst column
+    ds = build_dataset(
+        spark,
+        [
+            (blank("c"), iri(EX + "from"), blank("n")),
+            (blank("n"), iri(EX + "in"), blank("r")),
+        ],
+    )
+    r = rule(
+        variables=3,
+        hypothesis=[
+            pat("+", v(0), iri(EX + "from"), v(1)),
+            pat("+", v(1), iri(EX + "in"), v(2)),
+        ],
+        statements=[stmt_triple("+", v(0), iri(EX + "locatedIn"), v(2))],
+    )
+    sysm = System(spark, [r])
+    rows = sysm.deduce(ds, subst_lineage=True).triples.collect()
+    assert len(rows) == 1
+    ids = encode_terms(spark, [blank("c"), blank("n"), blank("r")])
+    got = rows[0]
+    # the vector is dense over rule vars: v0=c, v1=n, v2=r
+    assert got.subst == [ids[blank("c")], ids[blank("n")], ids[blank("r")]]
+    # and the emitted fact is the projection of those bindings
+    assert got.s == got.subst[0] and got.o == got.subst[2]
+    # default path stays slim — no subst column
+    assert "subst" not in sysm.deduce(ds).triples.columns
+
+
 def test_transitive_closure_fixpoint(spark):
     # {?a <#anc> ?b . ?b <#anc> ?c} => {?a <#anc> ?c} over a 6-node chain
     # ⇒ 15 triples at fixpoint; exercises the semi-naive delta

@@ -88,6 +88,44 @@ def test_link_determinism_and_ambiguity(spark):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
 
 
+def test_gazetteer_trie_regex_parity(spark):
+    # the two detector paths (compiled alternation vs broadcast token
+    # trie) must emit identical mention lists on the same corpus
+    from inferdf_rs_spark.extraction import extract
+
+    pages = synth.synth_pages(spark, 40)
+    aliases = [r.alias for r in synth.alias_dict(spark).select("alias").distinct().collect()]
+    d_regex = extract.make_mention_detector(aliases, spark=spark)
+    saved = extract.REGEX_GAZETTEER_MAX
+    extract.REGEX_GAZETTEER_MAX = 0  # force the trie path
+    try:
+        d_trie = extract.make_mention_detector(aliases, spark=spark)
+    finally:
+        extract.REGEX_GAZETTEER_MAX = saved
+    import pyspark.sql.functions as F
+
+    got = pages.select(
+        "url", d_regex(F.col("text")).alias("a"), d_trie(F.col("text")).alias("b")
+    ).collect()
+    assert got and all(r.a == r.b for r in got)
+
+
+def test_gazetteer_50k_aliases_completes(spark):
+    # the compiled-alternation regex cannot survive a 50k-alias dict;
+    # the broadcast trie path must detect over the synth corpus fine
+    from inferdf_rs_spark.extraction import extract
+    import pyspark.sql.functions as F
+
+    real = [r.alias for r in synth.alias_dict(spark).select("alias").distinct().collect()]
+    fake = [f"zzalias{i} q{i % 97}" for i in range(50_000 - len(real))]
+    detect = extract.make_mention_detector(real + fake, spark=spark)
+    pages = synth.synth_pages(spark, 40)
+    out = pages.select("url", F.explode(detect(F.col("text"))).alias("surface"))
+    # fake aliases never occur; real ones still found
+    assert out.count() > 0
+    assert out.filter(F.col("surface").startswith("zzalias")).count() == 0
+
+
 def test_pipeline_golden_pr(spark, tmp_path):
     pages = synth.synth_pages(spark, N_PAGES)
     out_dir = str(tmp_path / "graph")
