@@ -36,11 +36,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rule engine (reference parity ops)
         "pattern_scan": Q.q_pattern_scan,
         "pattern_scan_p_bound": Q.q_pattern_scan_p_bound,
+        "neg_pattern_scan": Q.q_neg_pattern_scan,
         "nonlinear_self": Q.q_nonlinear_self,
         "conj_join": Q.q_conj_join,
         "deduce_geo": Q.q_deduce_geo,
         "antijoin_new_facts": Q.q_antijoin_new_facts,
         "fixpoint_tc": Q.q_fixpoint_tc,
+        "eq_closure_chain": Q.q_eq_closure_chain,
         "compare_filter": Q.q_compare_filter,
         "regex_filter": Q.q_regex_filter,
         # dedup family
@@ -134,6 +136,10 @@ def oracle_sql() -> dict[str, str]:
         "SELECT 'doc://' || doc_id AS doc_iri FROM toks WHERE token = 'data'",
         "pattern_scan_p_bound": "SELECT DISTINCT 'res://' || l_partkey AS s_iri, "
         "'res://' || l_suppkey AS o_iri FROM lineitem",
+        "neg_pattern_scan": "SELECT 'order://' || o_orderkey AS order_iri "
+        "FROM orders WHERE o_orderstatus <> 'O'",
+        "eq_closure_chain": "SELECT n_nationkey::BIGINT AS term_id, "
+        "(SELECT min(n_nationkey) FROM nation)::BIGINT AS res FROM nation",
         "nonlinear_self": "SELECT DISTINCT 'res://' || l_partkey AS res_iri FROM lineitem "
         "WHERE l_partkey = l_suppkey",
         "conj_join": f"WITH {_TOKS4} "

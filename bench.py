@@ -21,10 +21,12 @@ from inferdf_rs_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
     ("pattern_scan", Q.q_pattern_scan),
+    ("neg_pattern_scan", Q.q_neg_pattern_scan),
     ("conj_join", Q.q_conj_join),
     ("deduce_geo", Q.q_deduce_geo),
     ("antijoin_new_facts", Q.q_antijoin_new_facts),
     ("fixpoint_tc", Q.q_fixpoint_tc),
+    ("eq_closure_chain", Q.q_eq_closure_chain),
     ("compare_filter", Q.q_compare_filter),
     ("regex_filter", Q.q_regex_filter),
     ("exact_dedup", Q.q_exact_dedup),

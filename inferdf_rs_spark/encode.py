@@ -48,7 +48,11 @@ def encode_edges(
     """Encode an edge DataFrame into a (triples, terms) Dataset.
 
     ``edges`` columns: ``s_lex`` (iri), ``p_lex`` (iri), ``o_kind``,
-    ``o_lex``, ``o_dt`` (datatype for literal objects, null otherwise).
+    ``o_lex``, ``o_dt`` (datatype for literal objects, null otherwise),
+    plus optional ``g_lex`` (named-graph iri — reference quads; null or
+    absent = default graph) and optional ``sign`` (explicitly-negative
+    facts, reference Signed wrapper src/sign.rs:123-129; absent = all
+    positive).
 
     ``terms``: optionally a pre-built dictionary covering every term in
     the edges — callers that know their term sources (e.g. urls are
@@ -56,6 +60,7 @@ def encode_edges(
     expensive 3-projection distinct over the full edge table.
     """
     null_s = F.lit(None).cast("string")
+    has_g = "g_lex" in edges.columns
     if terms is None:
         terms = (
             edges.select(F.lit(KIND_IRI).alias("kind"), F.col("s_lex").alias("lexical"), null_s.alias("datatype"))
@@ -65,25 +70,39 @@ def encode_edges(
             .unionByName(
                 edges.select(F.col("o_kind").alias("kind"), F.col("o_lex").alias("lexical"), F.col("o_dt").alias("datatype"))
             )
-            .dropDuplicates()
-            .select(
-                term_id_col(F.col("kind"), F.col("lexical"), F.col("datatype"), null_s).alias("term_id"),
-                "kind",
-                "lexical",
-                "datatype",
-                null_s.alias("lang"),
-            )
         )
+        if has_g:
+            terms = terms.unionByName(
+                edges.filter(F.col("g_lex").isNotNull()).select(
+                    F.lit(KIND_IRI).alias("kind"), F.col("g_lex").alias("lexical"), null_s.alias("datatype")
+                )
+            )
+        terms = terms.dropDuplicates().select(
+            term_id_col(F.col("kind"), F.col("lexical"), F.col("datatype"), null_s).alias("term_id"),
+            "kind",
+            "lexical",
+            "datatype",
+            null_s.alias("lang"),
+        )
+    g_col = (
+        F.when(
+            F.col("g_lex").isNotNull(),
+            term_id_col(F.lit(KIND_IRI), F.col("g_lex"), null_s, null_s),
+        )
+        if has_g
+        else F.lit(None).cast("long")
+    )
     triples = edges.select(
         term_id_col(F.lit(KIND_IRI), F.col("s_lex"), null_s, null_s).alias("s"),
         term_id_col(F.lit(KIND_IRI), F.col("p_lex"), null_s, null_s).alias("p"),
         term_id_col(F.col("o_kind"), F.col("o_lex"), F.col("o_dt"), null_s).alias("o"),
-        F.lit(True).alias("sign"),
+        (F.col("sign") if "sign" in edges.columns else F.lit(True)).alias("sign"),
         F.lit(CAUSE_STATED).alias("cause_kind"),
         F.lit(None).cast("long").alias("rule_id"),
         F.lit(None).cast("long").alias("subst_hash"),
         F.lit(0).alias("round"),
         F.lit(src_partition).alias("src_partition"),
+        g_col.alias("g"),
     )
     return Dataset(triples, terms)
 

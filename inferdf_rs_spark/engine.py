@@ -34,17 +34,25 @@ class Dataset:
 def build_dataset(spark: SparkSession, facts: list) -> Dataset:
     """Build a Dataset from driver-side facts (test/fixture path).
 
-    ``facts``: list of (s, p, o) or (s, p, o, sign) tuples of Terms.
+    ``facts``: list of (s, p, o), (s, p, o, sign) or (s, p, o, sign, g)
+    tuples of Terms — the optional 5th element is the named graph
+    (reference quads, src/statement.rs:23-29); matching ignores it.
     """
-    norm = [(f[0], f[1], f[2], f[3] if len(f) > 3 else True) for f in facts]
+    norm = [
+        (f[0], f[1], f[2], f[3] if len(f) > 3 else True, f[4] if len(f) > 4 else None)
+        for f in facts
+    ]
     all_terms: list[Term] = []
-    for s, p, o, _ in norm:
-        all_terms += [s, p, o]
+    for s, p, o, _, g in norm:
+        all_terms += [s, p, o] + ([g] if g is not None else [])
     tdf = terms_df(spark, all_terms)
     ids = encode_terms(spark, all_terms)
     rows = [
-        (ids[s], ids[p], ids[o], bool(sign), CAUSE_STATED, None, None, 0, "stated")
-        for s, p, o, sign in norm
+        (
+            ids[s], ids[p], ids[o], bool(sign), CAUSE_STATED, None, None, 0, "stated",
+            ids[g] if g is not None else None,
+        )
+        for s, p, o, sign, g in norm
     ]
     trips = spark.createDataFrame(rows, TRIPLES_SCHEMA)
     return Dataset(trips, tdf)

@@ -152,6 +152,9 @@ def conclude(
                 F.col("subst_hash"),
                 F.lit(round_num).alias("round"),
                 F.lit(f"r{rule_idx}").alias("src_partition"),
+                # deduced facts land in the default graph (the reference's
+                # deduction emits graph-less TripleStatements)
+                F.lit(None).cast("long").alias("g"),
                 *lineage_cols,
                 err.alias("_err"),
                 F.array(*[i[1] for i in insts]).alias("_terms"),

@@ -65,6 +65,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n_hashes: int = 16,
     shingle_words: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures, 4 hashes per md5 digest: hash j = the 32-bit
     hex window ``(j%4)`` of ``md5((j//4) || ':' || shingle)`` — 4x fewer
@@ -76,10 +77,15 @@ def minhash_signatures(
     shuffle carries only per-partition minima per doc.  Docs with no
     shingles get an all-null signature."""
     assert n_hashes % 4 == 0, "n_hashes must be a multiple of 4"
-    toks = norm_tokens(F.col(text_col))
-    ex = docs.select(
-        F.col(id_col), F.explode(word_shingles(toks, shingle_words)).alias("g")
-    )
+    if shingles is not None:
+        # caller supplies a (possibly cached) (id, shingles) table — the
+        # near-dup path reuses it for both signatures and verify
+        ex = shingles.select(F.col(id_col), F.explode("shingles").alias("g"))
+    else:
+        toks = norm_tokens(F.col(text_col))
+        ex = docs.select(
+            F.col(id_col), F.explode(word_shingles(toks, shingle_words)).alias("g")
+        )
     for s in range(n_hashes // 4):
         ex = ex.withColumn(f"_m{s}", F.md5(F.concat(F.lit(f"{s}:"), F.col("g"))))
     hs = [
@@ -139,7 +145,7 @@ def minhash_near_dup_pairs(
         F.col(id_col),
         word_shingles(toks, shingle_words).alias("shingles"),
     ).persist()
-    sigs = minhash_signatures(docs, text_col, id_col, n_hashes, shingle_words)
+    sigs = minhash_signatures(docs, text_col, id_col, n_hashes, shingle_words, shingles=base)
     bandsdf = lsh_bands(sigs, bands, n_hashes, id_col).persist()
     a = bandsdf.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = bandsdf.select(F.col(id_col).alias("id_b"), "band", "bucket")

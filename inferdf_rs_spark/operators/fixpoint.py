@@ -230,7 +230,12 @@ def fixpoint(
         (verified: with AQE on the LogicalRDD reports
         UnknownPartitioning and every round re-exchanges the store)."""
         rp = df.repartition(n_part, *TRIPLE_KEY).sortWithinPartitions(*TRIPLE_KEY)
-        lvl = StorageLevel.DISK_ONLY if big else None
+        # big pieces: MEMORY_AND_DISK — stays deserialized in memory while
+        # it fits (the store is scanned by every rule slot every round;
+        # DISK_ONLY paid per-scan deserialization, measured ~2x slower
+        # fixpoint at 38M stated facts) and evicts to disk under pressure
+        # (caps the all-deltas-in-RAM RSS cliff)
+        lvl = StorageLevel.MEMORY_AND_DISK if big else None
         prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         try:
@@ -238,12 +243,18 @@ def fixpoint(
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
-    base = store.localCheckpoint(eager=True)
+    # materialize the caller's store plan under AQE; in the large regime
+    # the persisted copy is transient (unpersisted once the partitioned
+    # piece exists) so the storage pool holds ONE copy of the store, not
+    # two — double-buffering 38M+ rows was measured to push the pool into
+    # eviction thrash and slow every later scan
+    base = store.persist(StorageLevel.MEMORY_AND_DISK)
     store_rows = base.count()
     large = store_rows > store_broadcast_rows
     if large:
         # _piece (AQE off for partitioning capture) reshuffles cached blocks
         pieces = [_piece(base, big=True)]
+        base.unpersist()
     else:
         pieces = [base]
     terms = terms.localCheckpoint(eager=True)
@@ -305,19 +316,36 @@ def fixpoint(
                 F.col("subst_hash"),
                 F.lit(rnd).cast("int").alias("round"),
                 F.lit("err").alias("src_partition"),
+                F.lit(None).cast("long").alias("g"),
             )
-            combined = new.unionByName(err_rows).localCheckpoint(eager=True)
-            bad = combined.filter(F.col("cause_kind") < 0).limit(1).collect()
+            staged = new.unionByName(err_rows)
+        else:
+            staged = new
+        # one materialization of the round's delta under AQE.  Large
+        # regime: a TRANSIENT persist — the partitioned piece supersedes
+        # it and the copy is released (a leaked copy per round was
+        # measured to thrash the storage pool).  Small regime: the
+        # checkpoint IS the store piece, so it stays.
+        if large:
+            staged = staged.persist(StorageLevel.MEMORY_AND_DISK)
+            staged.count()
+        else:
+            staged = staged.localCheckpoint(eager=True)
+        if check_errors:
+            bad = staged.filter(F.col("cause_kind") < 0).limit(1).collect()
             if bad:
+                if large:
+                    staged.unpersist()
                 raise ExpressionError(
                     f"expression error in round {rnd}: err={-bad[0].cause_kind} "
                     f"rule_id={bad[0].rule_id} subst_hash={bad[0].subst_hash}"
                 )
-            new_src = combined.filter(F.col("cause_kind") >= 0)
+            new_src = staged.filter(F.col("cause_kind") >= 0)
         else:
-            new_src = new.localCheckpoint(eager=True)
+            new_src = staged
         if large:
             new = _piece(new_src, big=last_new > delta_disk_threshold)
+            staged.unpersist()
         else:
             new = new_src  # (a filter over) checkpointed blocks
         n_new = new.count()

@@ -194,6 +194,35 @@ def q_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_col(kept.select("v0").dropDuplicates(), ds.terms, "v0", "doc_iri")
 
 
+def q_neg_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: negative-pattern scan over a signed store — explicitly-negative
+    facts (non-open orders) match a ``-`` pattern (reference blanket impl
+    src/dataset.rs:46-60: negatives only match when stored)."""
+    ds = kg_demo.orders_signed_dataset(spark, sf_dir)
+    r = rule(
+        variables=1,
+        hypothesis=[pat("-", v(0), iri(KG + "open"), lit("1"))],
+        statements=[stmt_triple("+", v(0), iri(KG + "closed"), lit("1"))],
+    )
+    cids = encode_terms(spark, r.constants())
+    subst = find_substitutions(ds.triples, r, cids)
+    return decode_col(subst, ds.terms, "v0", "order_iri")
+
+
+def q_eq_closure_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eq-closure (SURVEY §4 item 4): connected components over a sameAs
+    chain of all nation keys — every member maps to the component min."""
+    from ..operators.eqclosure import eq_closure
+
+    nat = kg_demo.load(spark, sf_dir, "nation")
+    mx = nat.agg(F.max("n_nationkey")).collect()[0][0]
+    pairs = nat.filter(F.col("n_nationkey") < mx).select(
+        F.col("n_nationkey").cast("long").alias("a"),
+        (F.col("n_nationkey") + 1).cast("long").alias("b"),
+    )
+    return eq_closure(pairs).select("term_id", "res")
+
+
 # ------------------------------------------------------------ corpus ops
 
 

