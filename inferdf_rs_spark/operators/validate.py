@@ -94,10 +94,6 @@ def validate(
         batches.append(conclude(subst, rule, idx, const_ids, facets, 0, functions))
     c = merge_concluded(spark, batches)
 
-    bad = c.errors.limit(1).collect()
-    if bad:
-        raise ExpressionError(f"expression error during validation: {bad[0].asDict()}")
-
     nulls = {
         "s": F.lit(None).cast("bigint"),
         "p": F.lit(None).cast("bigint"),
@@ -133,8 +129,25 @@ def validate(
     bf = boolean_facets(terms)
     t = c.trues.join(bf, c.trues.res == bf.bres, "left")
     t_err = t.filter(F.coalesce(F.col("parse_err"), F.lit(False)))
-    if t_err.limit(1).collect():
-        raise ExpressionError("InvalidLiteral: malformed xsd:boolean literal in True check")
+
+    # ONE error action for both eval errors (expression trees) and V4's
+    # InvalidLiteral (malformed boolean facet) — the reference propagates
+    # either as Err; two separate limit(1) jobs each re-ran the deduction
+    errs = (
+        c.errors.select(F.lit("expression").alias("kind"), "rule_id", "subst_hash", "err")
+        .unionByName(
+            t_err.select(
+                F.lit("invalid_boolean_literal").alias("kind"),
+                "rule_id",
+                "subst_hash",
+                F.lit(ERR_INVALID_LITERAL).alias("err"),
+            )
+        )
+        .limit(1)
+        .collect()
+    )
+    if errs:
+        raise ExpressionError(f"error during validation: {errs[0].asDict()}")
     expected = F.col("sign")
     found = (
         F.when(F.col("vtype") == VT_BOOL, F.col("bval") == expected)
