@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "antijoin_new_facts": Q.q_antijoin_new_facts,
         "fixpoint_tc": Q.q_fixpoint_tc,
         "eq_closure_chain": Q.q_eq_closure_chain,
+        "validate_missing": Q.q_validate_missing,
         "compare_filter": Q.q_compare_filter,
         "regex_filter": Q.q_regex_filter,
         # dedup family
@@ -140,6 +141,11 @@ def oracle_sql() -> dict[str, str]:
         "FROM orders WHERE o_orderstatus <> 'O'",
         "eq_closure_chain": "SELECT n_nationkey::BIGINT AS term_id, "
         "(SELECT min(n_nationkey) FROM nation)::BIGINT AS res FROM nation",
+        # validation: no locatedIn facts are stated, so every deduced
+        # conclusion is a MissingTriple violation == the deduction itself
+        "validate_missing": "SELECT 'cust://' || c_custkey AS cust_iri, "
+        "'region://' || n_regionkey AS region_iri "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey",
         "nonlinear_self": "SELECT DISTINCT 'res://' || l_partkey AS res_iri FROM lineitem "
         "WHERE l_partkey = l_suppkey",
         "conj_join": f"WITH {_TOKS4} "

@@ -194,6 +194,20 @@ def q_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_col(kept.select("v0").dropDuplicates(), ds.terms, "v0", "doc_iri")
 
 
+def q_validate_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1/V2: validation mode — the geo rule over a store WITHOUT any
+    locatedIn facts reports every concluded triple as a MissingTriple
+    violation (reference Deductions::try_validate,
+    src/system/deduction.rs:110-119; Spark reports ALL violations)."""
+    ds = kg_demo.geo_dataset(spark, sf_dir)
+    sysm = System(spark, [_geo_rule()])
+    vr = sysm.validate(ds)
+    viol = vr.violations.filter(F.col("reason_kind") == 0).select("s", "o")
+    terms = ds.terms.unionByName(sysm.rule_constants_terms()).dropDuplicates(["term_id"])
+    out = decode_col(viol, terms, "s", "cust_iri")
+    return decode_col(out, terms, "o", "region_iri")
+
+
 def q_neg_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3: negative-pattern scan over a signed store — explicitly-negative
     facts (non-open orders) match a ``-`` pattern (reference blanket impl
