@@ -126,6 +126,7 @@ def run_pipeline(
     checkpoint_dir: str | None = None,
     max_rounds: int = 20,
     skip_fidelity: bool = False,
+    audit_dictionary: bool = False,
 ) -> PipelineResult:
     timings: dict[str, float] = {}
 
@@ -196,6 +197,15 @@ def run_pipeline(
         .localCheckpoint(eager=True)
     )
     n_stated = triples.count()
+    if audit_dictionary:
+        # 64-bit birthday-bound guard (terms.audit_collisions): at 10^12
+        # terms collisions become plausible; fail fast instead of
+        # silently conflating two terms
+        from ..terms import audit_collisions
+
+        n_coll = audit_collisions(terms).count()
+        if n_coll:
+            raise RuntimeError(f"dictionary hash collisions detected: {n_coll} ids")
     pages.unpersist()
     timings["link_encode"] = time.perf_counter() - t0
 

@@ -37,6 +37,11 @@ def main() -> None:
     ap.add_argument("--out", help="output graph dir")
     ap.add_argument("--checkpoint", help="fixpoint checkpoint dir")
     ap.add_argument("--skip-fidelity", action="store_true")
+    ap.add_argument(
+        "--audit-dictionary",
+        action="store_true",
+        help="fail if two distinct terms hash to one id (64-bit birthday guard)",
+    )
     ap.add_argument("--repartition", type=int, default=None, help="input split count (0 disables)")
     ap.add_argument(
         "--repeat",
@@ -86,6 +91,7 @@ def main() -> None:
             out_dir=args.out,
             checkpoint_dir=args.checkpoint,
             skip_fidelity=args.skip_fidelity,
+            audit_dictionary=args.audit_dictionary,
         )
         wall = time.perf_counter() - t0
         iters.append({"wall_sec": round(wall, 3), "timings": {k: round(t, 3) for k, t in pr.timings.items()}})
