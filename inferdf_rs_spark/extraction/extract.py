@@ -71,26 +71,45 @@ _NORM_RE = re.compile(r"[^a-z0-9]+")
 REGEX_GAZETTEER_MAX = 1024
 
 _TRIE_TERM = ""  # terminal marker key inside trie nodes
-_TRIE_CACHE: dict[int, dict] = {}  # per-worker: one built trie per broadcast value
+# per-worker trie cache, keyed by a uuid minted at detector build time
+# (NOT id() of the broadcast value — a recycled address after GC would
+# silently serve a stale vocabulary)
+_TRIE_CACHE: dict[str, dict] = {}
+_TRIE_CACHE_MAX = 4
+
+# driver-side detector cache: one broadcast + compiled detector per
+# (session, vocabulary) — repeated link_mentions calls (per micro-batch)
+# must not leak one broadcast each
+_DETECTOR_CACHE: dict[tuple, object] = {}
 
 
-def _build_token_trie(aliases: list[str]) -> dict:
+def _norm_alias_map(alias_list: list[str]) -> dict[str, str]:
+    """normalized form → original alias (deterministic: the
+    lexicographically-smallest original wins per normalized form)."""
+    out: dict[str, str] = {}
+    for a in sorted(set(alias_list)):
+        nm = " ".join(_NORM_RE.sub(" ", a.lower()).split())
+        if nm:
+            out.setdefault(nm, a)
+    return out
+
+
+def _build_token_trie(norm_map: dict[str, str]) -> dict:
     root: dict = {}
-    for a in aliases:
+    for nm, original in norm_map.items():
         node = root
-        for tok in _NORM_RE.sub(" ", a.lower()).split():
+        for tok in nm.split():
             node = node.setdefault(tok, {})
-        node[_TRIE_TERM] = a
+        node[_TRIE_TERM] = original
     return root
 
 
-def _trie_for(aliases: list[str]) -> dict:
-    # bc.value is deserialized once per worker process → stable id()
-    key = id(aliases)
+def _trie_for(key: str, norm_map: dict[str, str]) -> dict:
     trie = _TRIE_CACHE.get(key)
     if trie is None:
-        trie = _build_token_trie(aliases)
-        _TRIE_CACHE.clear()
+        trie = _build_token_trie(norm_map)
+        if len(_TRIE_CACHE) >= _TRIE_CACHE_MAX:
+            _TRIE_CACHE.pop(next(iter(_TRIE_CACHE)))
         _TRIE_CACHE[key] = trie
     return trie
 
@@ -124,20 +143,27 @@ def make_mention_detector(alias_list: list[str], spark=None):
     """Build a batched mention detector over the alias vocabulary.
 
     Semantics: **leftmost-longest (maximal-munch) token-sequence match**
-    over the normalized (lowercased, non-alnum→space) text — the
-    standard gazetteer-NER matching rule.  Output: distinct surfaces in
-    first-occurrence order (deterministic).
+    of the *normalized* alias forms over the normalized (lowercased,
+    non-alnum→space) text — the standard gazetteer-NER matching rule.
+    Emitted surfaces are the ORIGINAL dictionary aliases (when two
+    aliases normalize identically, the lexicographically-smallest
+    original represents both — deterministic).  Output: distinct
+    surfaces in first-occurrence order.
 
     Two physical paths with identical semantics (parity-tested):
-    - ≤ REGEX_GAZETTEER_MAX aliases: ONE compiled alternation regex
-      (longest alternatives first) evaluated by pandas' C string
-      machinery;
+    - ≤ REGEX_GAZETTEER_MAX aliases: ONE compiled alternation regex over
+      the normalized forms (longest alternatives first) evaluated by
+      pandas' C string machinery;
     - larger: the vocabulary ships via ``sparkContext.broadcast`` (one
       copy per executor, not per task closure) and matching walks a
       token trie built once per worker — Aho-Corasick-equivalent for
       this anchored non-overlapping discipline, linear in tokens, and
       immune to the alternation-regex compile blow-up at 10⁵-10⁶
-      aliases."""
+      aliases.
+
+    Detectors are cached per (session, vocabulary) so repeated calls
+    (e.g. one per streaming micro-batch) reuse one broadcast instead of
+    leaking one per call."""
     if not alias_list:
         empty = [[]]
 
@@ -147,30 +173,53 @@ def make_mention_detector(alias_list: list[str], spark=None):
 
         return detect_none
 
-    if len(alias_list) <= REGEX_GAZETTEER_MAX:
-        alts = "|".join(re.escape(a) for a in sorted(alias_list, key=lambda a: (-len(a), a)))
-        pat = re.compile(rf"(?<![a-z0-9])(?:{alts})(?![a-z0-9])")
-
-        @F.pandas_udf(T.ArrayType(T.StringType()))
-        def detect(text: pd.Series) -> pd.Series:
-            normed = text.fillna("").str.lower().str.replace(_NORM_RE, " ", regex=True)
-            return normed.str.findall(pat).map(lambda xs: list(dict.fromkeys(xs)))
-
-        return detect
-
     if spark is None:
         from pyspark.sql import SparkSession
 
         spark = SparkSession.getActiveSession()
-    bc = spark.sparkContext.broadcast(sorted(alias_list))
+    norm_map = _norm_alias_map(alias_list)
+    path = "regex" if len(norm_map) <= REGEX_GAZETTEER_MAX else "trie"
+    cache_key = (
+        spark.sparkContext.applicationId if spark is not None else None,
+        path,
+        len(norm_map),
+        hash(tuple(sorted(norm_map))),
+    )
+    cached = _DETECTOR_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
 
-    @F.pandas_udf(T.ArrayType(T.StringType()))
-    def detect_trie(text: pd.Series) -> pd.Series:
-        trie = _trie_for(bc.value)
-        normed = text.fillna("").str.lower().str.replace(_NORM_RE, " ", regex=True)
-        return normed.map(lambda s: _match_tokens(s.split(), trie))
+    if path == "regex":
+        alts = "|".join(re.escape(a) for a in sorted(norm_map, key=lambda a: (-len(a), a)))
+        pat = re.compile(rf"(?<![a-z0-9])(?:{alts})(?![a-z0-9])")
+        surface_of = dict(norm_map)
 
-    return detect_trie
+        @F.pandas_udf(T.ArrayType(T.StringType()))
+        def detect(text: pd.Series) -> pd.Series:
+            normed = text.fillna("").str.lower().str.replace(_NORM_RE, " ", regex=True)
+            return normed.str.findall(pat).map(
+                lambda xs: list(dict.fromkeys(surface_of[x] for x in xs))
+            )
+
+        detector = detect
+    else:
+        import uuid
+
+        bc = spark.sparkContext.broadcast(norm_map)
+        trie_key = uuid.uuid4().hex  # stable per detector, survives GC address reuse
+
+        @F.pandas_udf(T.ArrayType(T.StringType()))
+        def detect_trie(text: pd.Series) -> pd.Series:
+            trie = _trie_for(trie_key, bc.value)
+            normed = text.fillna("").str.lower().str.replace(_NORM_RE, " ", regex=True)
+            return normed.map(lambda s: _match_tokens(s.split(), trie))
+
+        detector = detect_trie
+
+    if len(_DETECTOR_CACHE) >= 8:
+        _DETECTOR_CACHE.clear()
+    _DETECTOR_CACHE[cache_key] = detector
+    return detector
 
 
 def best_links(alias_dict: DataFrame) -> DataFrame:

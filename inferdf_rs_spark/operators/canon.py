@@ -92,17 +92,20 @@ def graph_signature(triples: DataFrame, terms: DataFrame, iterations: int = 5) -
     isomorphic graphs (mod WL's known limits on pathological automorphic
     structures, which rule-minted KGs don't exhibit).
 
-    Fully distributed: per-row xxhash64 folded by the commutative
-    bit_xor aggregate (order-independent by construction, map-side
-    partial agg, no single-task collect_list of the whole graph)."""
+    Fully distributed: per-row xxhash64 folded by a commutative SUM
+    (order-independent, map-side partial agg, no single-task
+    collect_list of the whole graph).  Sum — not xor — so duplicate
+    canonical rows (automorphic blanks WL merges) contribute with
+    multiplicity instead of cancelling in pairs; accumulated as
+    DECIMAL(38,0) because an ANSI-mode BIGINT sum would throw on
+    overflow, then wrapped to int64 driver-side."""
     canon = canonicalize_triples(triples, terms, iterations)
     row = canon.agg(
-        F.bit_xor(F.xxhash64("s", "p", "o", "sign")).alias("h"),
+        F.sum(F.xxhash64("s", "p", "o", "sign").cast("decimal(38,0)")).alias("h"),
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
-    # mix in the row count so xor-cancelling graph pairs still differ
-    h = (row.h or 0) ^ (row.n * 0x9E3779B97F4A7C15)
-    return ((h + 2**63) % 2**64) - 2**63  # keep int64 range
+    h = int(row.h or 0) + row.n * 0x9E3779B97F4A7C15
+    return ((h + 2**63) % 2**64) - 2**63  # wrap into int64 range
 
 
 def pr_score(got: DataFrame, gold: DataFrame, got_terms: DataFrame, gold_terms: DataFrame, iterations: int = 5):

@@ -29,7 +29,8 @@ Scale design:
   triple — checked driver-side on the delta's distinct (sign, p) set
   against the slot's sign and constant predicate;
 - large deltas spill: past ``delta_disk_threshold`` rows the piece
-  checkpoints use DISK_ONLY blocks (kills the all-deltas-in-RAM cliff);
+  checkpoints use MEMORY_AND_DISK_DESER blocks that evict under memory
+  pressure (kills the all-deltas-in-RAM cliff);
 - every round's new facts and new terms are (optionally) appended as a
   parquet checkpoint with an atomically-updated meta file, so a killed
   job resumes between rounds (north_rule requirement);
@@ -174,7 +175,8 @@ def fixpoint(
     validation).  Set ``insert_negatives`` to also store negative facts.
 
     ``delta_disk_threshold``: rounds whose previous delta exceeded this
-    many rows checkpoint to DISK_ONLY blocks instead of executor memory.
+    many rows checkpoint to disk-evictable (MEMORY_AND_DISK_DESER) blocks
+    instead of pinned executor memory.
     ``compact_pieces``: max number of co-partitioned store pieces before
     they are compacted into one (a single store-size exchange, amortized
     over that many rounds).
@@ -230,12 +232,14 @@ def fixpoint(
         (verified: with AQE on the LogicalRDD reports
         UnknownPartitioning and every round re-exchanges the store)."""
         rp = df.repartition(n_part, *TRIPLE_KEY).sortWithinPartitions(*TRIPLE_KEY)
-        # big pieces: MEMORY_AND_DISK — stays deserialized in memory while
-        # it fits (the store is scanned by every rule slot every round;
-        # DISK_ONLY paid per-scan deserialization, measured ~2x slower
-        # fixpoint at 38M stated facts) and evicts to disk under pressure
-        # (caps the all-deltas-in-RAM RSS cliff)
-        lvl = StorageLevel.MEMORY_AND_DISK if big else None
+        # big pieces: MEMORY_AND_DISK_DESER — stays DESERIALIZED in memory
+        # while it fits (the store is scanned by every rule slot every
+        # round; serialized/disk levels pay per-scan deserialization,
+        # measured ~2x slower fixpoint at 38M stated facts) and evicts to
+        # disk under pressure (caps the all-deltas-in-RAM RSS cliff).
+        # NB PySpark's bare MEMORY_AND_DISK constant is the *serialized*
+        # level — not what we want on the scan-hot store.
+        lvl = StorageLevel.MEMORY_AND_DISK_DESER if big else None
         prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         try:
@@ -248,7 +252,7 @@ def fixpoint(
     # piece exists) so the storage pool holds ONE copy of the store, not
     # two — double-buffering 38M+ rows was measured to push the pool into
     # eviction thrash and slow every later scan
-    base = store.persist(StorageLevel.MEMORY_AND_DISK)
+    base = store.persist(StorageLevel.MEMORY_AND_DISK_DESER)
     store_rows = base.count()
     large = store_rows > store_broadcast_rows
     if large:
@@ -274,7 +278,10 @@ def fixpoint(
 
     rnd = start_round
     last_new = 0
-    done = True  # loop may not run at all (resume at cap)
+    # A checkpoint resumed at start_round > 0 with meta done=False is NOT
+    # converged — if it already sits at max_rounds the loop never runs and
+    # the allow_partial contract below must still fire.
+    done = start_round == 0
     while rnd < max_rounds:
         rnd += 1
         scan_store = store_union()
@@ -327,7 +334,7 @@ def fixpoint(
         # measured to thrash the storage pool).  Small regime: the
         # checkpoint IS the store piece, so it stays.
         if large:
-            staged = staged.persist(StorageLevel.MEMORY_AND_DISK)
+            staged = staged.persist(StorageLevel.MEMORY_AND_DISK_DESER)
             staged.count()
         else:
             staged = staged.localCheckpoint(eager=True)
@@ -404,9 +411,11 @@ def fixpoint(
         pieces.append(new)
         if not large and store_rows > store_broadcast_rows:
             # crossed the broadcastable horizon: switch to co-partitioned
-            # pieces (one store-size exchange, then exchange-free rounds)
+            # pieces (one store-size exchange, then exchange-free rounds);
+            # the persisted base copy is superseded — release it
             large = True
             pieces = [_piece(store_union(), big=True)]
+            base.unpersist()
         elif large and len(pieces) > compact_pieces:
             # one store-size exchange, amortized over compact_pieces rounds
             pieces = [_piece(store_union(), big=True)]

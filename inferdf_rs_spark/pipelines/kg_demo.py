@@ -32,7 +32,9 @@ _DS_CACHE: dict[tuple, Dataset] = {}
 
 
 def _cached_dataset(spark: SparkSession, key: tuple, build) -> Dataset:
-    k = (id(spark), *key)
+    # applicationId, not id(spark): a new session object at a recycled
+    # address must never hit a dead context's checkpoint blocks
+    k = (spark.sparkContext.applicationId, *key)
     ds = _DS_CACHE.get(k)
     if ds is None:
         raw = build()

@@ -36,36 +36,59 @@ COMPARE_OPS = {"eq", "ne", "lt", "leq", "gt", "geq"}
 # meaning) are rejected at load time rather than silently diverging:
 # backreferences / lookaround / atomic groups / possessive quantifiers
 # (Java-only — Rust's regex crate has none of them) and Java-only escapes.
-_REGEX_DIALECT_DIVERGENT = _re.compile(
-    r"""
-    \\[1-9]          # numbered backreference (Java-only)
-  | \\k<             # named backreference (Java-only)
-  | \(\?=            # lookahead
-  | \(\?!            # negative lookahead
-  | \(\?<=           # lookbehind
-  | \(\?<!           # negative lookbehind
-  | \(\?>            # atomic group (Java-only)
-  | (?:[*+?}])\+     # possessive quantifier *+ ++ ?+ {n}+ (Java-only)
-  | \\[GhHRXv]       # Java-only escapes (\v is vertical-ws class in Java,
-                     #  VT char in Rust — meaning diverges)
-    """,
-    _re.VERBOSE,
-)
+
+_JAVA_ONLY_ESCAPES = set("GhHRXv")  # \v: vertical-ws class in Java, VT in Rust
+
+
+def _find_divergent(pattern: str) -> str | None:
+    """Left-to-right scan honoring escapes (a single regex over the
+    pattern misreads e.g. ``\\++`` — escaped plus then quantifier — as a
+    possessive quantifier, and ``\\\\1`` — escaped backslash then '1' —
+    as a backreference)."""
+    i, n = 0, len(pattern)
+    prev_quantifiable = False  # prev token was *, +, ?, or a {...} closer
+    while i < n:
+        ch = pattern[i]
+        if ch == "\\":
+            if i + 1 >= n:
+                return "\\"
+            nxt = pattern[i + 1]
+            if nxt.isdigit() and nxt != "0":
+                return pattern[i : i + 2]  # numbered backreference
+            if nxt in _JAVA_ONLY_ESCAPES:
+                return pattern[i : i + 2]
+            if nxt == "k" and i + 2 < n and pattern[i + 2] == "<":
+                return "\\k<"  # named backreference
+            i += 2
+            prev_quantifiable = False
+            continue
+        if ch == "(" and pattern.startswith("(?", i):
+            for bad in ("(?=", "(?!", "(?<=", "(?<!", "(?>"):
+                if pattern.startswith(bad, i):
+                    return bad
+        if ch == "+" and prev_quantifiable:
+            return pattern[i - 1 : i + 1]  # possessive quantifier *+ ++ ?+ }+
+        prev_quantifiable = ch in "*+?}"
+        i += 1
+    return None
 
 
 def lint_regex_dialect(pattern: str) -> None:
     """Reject regexes outside the Rust-regex ∩ java.util.regex common
     subset; also reject anything Python's re cannot compile (syntax
     errors diverge unpredictably between engines)."""
-    m = _REGEX_DIALECT_DIVERGENT.search(pattern)
-    if m:
+    bad = _find_divergent(pattern)
+    if bad is not None:
         raise ValueError(
-            f"regex {pattern!r} uses {m.group(0)!r}: outside the Rust/Java common "
+            f"regex {pattern!r} uses {bad!r}: outside the Rust/Java common "
             "dialect subset (backrefs, lookaround, atomic groups, possessive "
             "quantifiers and Java-only escapes are rejected at rule load)"
         )
     try:
-        _re.compile(pattern)
+        # Python's re spells named groups (?P<name>…) only; Java and Rust
+        # both also accept (?<name>…) — translate for the sanity compile
+        # (lookbehinds (?<= / (?<! were already handled by the scanner)
+        _re.compile(_re.sub(r"\(\?<(?=[A-Za-z])", "(?P<", pattern))
     except _re.error as e:
         raise ValueError(f"regex {pattern!r} does not compile: {e}") from e
 
@@ -275,12 +298,43 @@ class Rule:
                 walk(s.e)
         return out
 
+    def _expression_literals(self) -> list["Lit"]:
+        out: list[Lit] = []
+
+        def walk(e):
+            if isinstance(e, Lit):
+                out.append(e)
+            elif isinstance(e, Call):
+                for a in e.args:
+                    walk(a)
+
+        for st in self.conclusion.statements:
+            s = st.stmt
+            if isinstance(s, TripleStmt):
+                walk(s.s), walk(s.p), walk(s.o)
+            elif isinstance(s, EqStmt):
+                walk(s.a), walk(s.b)
+            else:
+                walk(s.e)
+        return out
+
     def validate(self) -> None:
         """Load-time variable sanity (the reference panics at eval time on
         an unbound conclusion var — src/system/deduction.rs:234 unwrap),
-        plus the regex-dialect lint."""
+        plus literal parsing: the reference's rule! macro parses Decimal
+        literals at compile time (src/expression/literal.rs:10-19), so a
+        malformed decimal is a LOAD error here, never a silent NULL at
+        eval; regex literals get the dialect lint."""
+        from decimal import Decimal, InvalidOperation
+
         for rx in self.regex_literals():
             lint_regex_dialect(rx)
+        for lit_ in self._expression_literals():
+            if lit_.space == "dec":
+                try:
+                    Decimal(str(lit_.value))
+                except InvalidOperation:
+                    raise ValueError(f"malformed decimal literal {lit_.value!r} in rule")
         hvars = self.hypothesis_vars()
         for x in hvars:
             if x >= self.variables:

@@ -321,16 +321,50 @@ def test_regex_dialect_lint_rejects_divergent():
     # rejected at load, not silently diverge at eval
     from inferdf_rs_spark.rules import call, regex, stmt_true, lint_regex_dialect
 
-    for bad in [r"(a)\1", r"(?=x)y", r"(?<!a)b", r"a(?>bc)", r"a++", r"\Gx", r"[a-"]:
+    for bad in [r"(a)\1", r"(?=x)y", r"(?<!a)b", r"a(?>bc)", r"a++", r"\Gx", r"[a-", r"a{2}+"]:
         with pytest.raises(ValueError):
             rule(
                 variables=1,
                 hypothesis=[pat("+", v(0), iri(EX + "p"), v(0))],
                 statements=[stmt_true("+", call("matches", regex(bad), s_("x")))],
             ).validate()
-    # common-subset patterns pass
-    for ok in [r"^me[a-z]*$", r"\d{2,4}", r"(?i)foo|bar", r"(?P<y>\d+)"]:
+    # common-subset patterns pass — including escape-heavy ones a naive
+    # single-regex lint false-positives on (\++ is an escaped plus
+    # quantified, \\1 is an escaped backslash then a literal 1)
+    for ok in [r"^me[a-z]*$", r"\d{2,4}", r"(?i)foo|bar", r"(?P<y>\d+)", r"(?<y>\d+)", r"\++", r"\\1"]:
         lint_regex_dialect(ok)
+
+
+def test_malformed_decimal_literal_rejected_at_load():
+    from inferdf_rs_spark.rules import call, dec, stmt_true
+
+    with pytest.raises(ValueError, match="decimal"):
+        rule(
+            variables=1,
+            hypothesis=[pat("+", v(0), iri(EX + "p"), v(0))],
+            statements=[stmt_true("+", call("lt", dec("1,5"), dec(2)))],
+        ).validate()
+
+
+def test_fixpoint_resume_at_round_cap_raises(spark, tmp_path):
+    # a checkpoint parked at max_rounds with a non-empty delta is NOT a
+    # fixpoint — resuming must raise, not silently return the partial store
+    chain = [(blank(str(i)), iri(EX + "anc"), blank(str(i + 1))) for i in range(5)]
+    ds = build_dataset(spark, chain)
+    r = rule(
+        variables=3,
+        hypothesis=[
+            pat("+", v(0), iri(EX + "anc"), v(1)),
+            pat("+", v(1), iri(EX + "anc"), v(2)),
+        ],
+        statements=[stmt_triple("+", v(0), iri(EX + "anc"), v(2))],
+    )
+    sysm = System(spark, [r])
+    ck = str(tmp_path / "ck")
+    partial = sysm.fixpoint(ds, checkpoint_dir=ck, max_rounds=1, allow_partial=True)
+    assert partial.rounds == 1 and partial.metrics[-1]["new_facts"] > 0
+    with pytest.raises(RuntimeError, match="converge"):
+        sysm.fixpoint(ds, checkpoint_dir=ck, max_rounds=1)
 
 
 def test_subst_vector_lineage(spark):
