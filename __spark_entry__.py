@@ -7,9 +7,14 @@ Rule-engine queries run the full engine path: bulk xxhash64 dictionary
 encoding → pattern-scan/join cascade → conclusion eval → decode back to
 lexical strings, so the oracle validates semantics end-to-end.
 
-The only op with no oracle entry is ``ann_lsh`` (approximate by
-construction) — its correctness signal is the recall-vs-exact harness
-in tests/test_extensions.py (recall ≥ 0.6 @ k=10 against ann_topk).
+Every query has an oracle — including ``ann_lsh``: the LSH pipeline is
+deterministic and integer-exact (md5 integer hyperplanes × quantized
+embeddings, see operators/similarity.py), so DuckDB regenerates the
+plane matrix, codes, Hamming-ball probe and cosine re-rank in SQL.
+Being *approximate* (vs exact top-k) is a property of the algorithm,
+not of its reproducibility; the recall-vs-exact harness in
+tests/test_extensions.py separately guards the semantic quality
+(recall ≥ 0.9 @ k=10 against ann_topk).
 """
 
 from __future__ import annotations
@@ -61,7 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity
         "cosine_consecutive": Q.q_cosine_consecutive,
         "ann_topk": Q.q_ann_topk,
-        "ann_lsh": Q.q_ann_lsh,  # approximate — recall harness in tests
+        "ann_lsh": Q.q_ann_lsh,  # deterministic integer LSH — fully oracled
         # multimodal plumbing (deterministic stub decode — oracled)
         "multimodal_features": Q.q_multimodal_features,
         "multimodal_frames": Q.q_multimodal_frames,
@@ -112,6 +117,35 @@ _BANDS = (
     "bands AS (SELECT doc_id, band, md5(array_to_string("
     "list_transform(sig[band*4+1:band*4+4], x -> x::VARCHAR), ',')) AS bucket "
     "FROM sigs CROSS JOIN (VALUES (0::BIGINT),(1),(2),(3)) b(band))"
+)
+
+
+# ann_lsh oracle fragments: regenerate the integer hyperplane matrix
+# (md5 first-4-bytes, centered — operators/similarity.py _hyperplanes),
+# assign per-table sign codes over 2^20-quantized embeddings in exact
+# int64 arithmetic, then probe the Hamming-≤2 ball (= the multi-probe
+# mask expansion) and re-rank candidates by exact cosine.
+_LSH_N_TABLES = 8
+_LSH_N_PLANES = 8
+_LSH_DIM = 64
+
+_LSH_PLANES = (
+    "pl AS (SELECT t, p, list(w ORDER BY d) AS wl FROM ("
+    "SELECT tt.t, pp.p, dd.d, "
+    "(('0x' || substr(md5('plane:' || tt.t || ':' || pp.p || ':' || dd.d), 1, 8))::BIGINT"
+    " - 2147483648) AS w "
+    f"FROM (SELECT unnest(range({_LSH_N_TABLES})) AS t) tt, "
+    f"(SELECT unnest(range({_LSH_N_PLANES})) AS p) pp, "
+    f"(SELECT unnest(range({_LSH_DIM})) AS d) dd) GROUP BY t, p)"
+)
+
+_LSH_CODES = (
+    "eq AS (SELECT vec_id, list_transform(embedding, x -> "
+    "floor(x::DOUBLE * 1048576)::BIGINT) AS q FROM embeddings), "
+    "codes AS (SELECT eq.vec_id, pl.t, sum(CASE WHEN "
+    f"list_aggregate(list_transform(range(1, {_LSH_DIM + 1}), i -> eq.q[i] * pl.wl[i]), 'sum')"
+    " > 0 THEN (1::BIGINT << pl.p) ELSE 0 END)::BIGINT AS code "
+    "FROM eq CROSS JOIN pl GROUP BY eq.vec_id, pl.t)"
 )
 
 
@@ -241,6 +275,20 @@ def oracle_sql() -> dict[str, str]:
         "PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored) "
         "SELECT query_id, neighbor_id, rank, floor(cos * 1000000)::BIGINT AS cosine_micro "
         "FROM r WHERE rank <= 10",
+        "ann_lsh": f"WITH {_LSH_PLANES}, {_LSH_CODES}, "
+        "qc AS (SELECT vec_id AS query_id, t, code FROM codes WHERE vec_id IN (0,1,2,3,4)), "
+        "cands AS (SELECT DISTINCT qc.query_id, c.vec_id AS neighbor_id "
+        "FROM codes c JOIN qc ON c.t = qc.t AND bit_count(xor(c.code, qc.code)) <= 2 "
+        "WHERE c.vec_id <> qc.query_id), "
+        "scored AS (SELECT cands.query_id, cands.neighbor_id, "
+        + _cos("qe.embedding", "ne.embedding")
+        + " AS cos FROM cands "
+        "JOIN embeddings qe ON qe.vec_id = cands.query_id "
+        "JOIN embeddings ne ON ne.vec_id = cands.neighbor_id), "
+        "r2 AS (SELECT query_id, neighbor_id, cos, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored) "
+        "SELECT query_id, neighbor_id, rank, floor(cos * 1000000)::BIGINT AS cosine_micro "
+        "FROM r2 WHERE rank <= 10",
         # ----- multimodal (stub decode is deterministic md5 math — fully
         # oracle-expressible; payload is the utf-8 bytes of text, so
         # DuckDB's md5/strlen over the VARCHAR see identical bytes)

@@ -13,8 +13,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .engine import Dataset
-from .schemas import CAUSE_STATED, KIND_IRI
+from .schemas import CAUSE_STATED, KIND_IRI, TRIPLE_KEY
 from .terms import term_id_col
+
+
+def dedup_triples(df: DataFrame) -> DataFrame:
+    """Set-collapse stated facts on the triple key with a DETERMINISTIC
+    tie-break on the remaining columns (lexicographically-least struct,
+    so e.g. the minimum named-graph id survives).
+
+    ``dropDuplicates(TRIPLE_KEY)`` keeps an *arbitrary* row per key: when
+    one (s,p,o,sign) is stated in several named graphs the retained ``g``
+    (and provenance) would vary across runs — at odds with the engine's
+    determinism guarantees.  Same shuffle cost as dropDuplicates (one
+    hash exchange + partial agg), plus a cheap struct assembly."""
+    others = [c for c in df.columns if c not in TRIPLE_KEY]
+    if not others:
+        return df.dropDuplicates(TRIPLE_KEY)
+    return (
+        df.groupBy(*TRIPLE_KEY)
+        .agg(F.min(F.struct(*[F.col(c) for c in others])).alias("_rest"))
+        .select(*TRIPLE_KEY, "_rest.*")
+    )
 
 
 def term_rows(df: DataFrame, kind, lexical, datatype=None, distinct: bool = True) -> DataFrame:

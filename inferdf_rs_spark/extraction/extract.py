@@ -79,8 +79,11 @@ _TRIE_CACHE_MAX = 4
 
 # driver-side detector cache: one broadcast + compiled detector per
 # (session, vocabulary) — repeated link_mentions calls (per micro-batch)
-# must not leak one broadcast each
-_DETECTOR_CACHE: dict[tuple, object] = {}
+# must not leak one broadcast each.  Entries are (detector, broadcast);
+# eviction unpersists the broadcast's executor copies (unpersist, not
+# destroy: a detector still held by a caller stays usable — the value
+# is re-shipped on next use).
+_DETECTOR_CACHE: dict[tuple, tuple] = {}
 
 
 def _norm_alias_map(alias_list: list[str]) -> dict[str, str]:
@@ -183,11 +186,16 @@ def make_mention_detector(alias_list: list[str], spark=None):
         spark.sparkContext.applicationId if spark is not None else None,
         path,
         len(norm_map),
-        hash(tuple(sorted(norm_map))),
+        # hash keys AND values: two vocabularies whose aliases normalize
+        # identically but spell differently ('Foo Bar' vs 'Foo-Bar')
+        # must not collide — a stale detector would emit the wrong
+        # original surfaces and the downstream alias join would silently
+        # drop those mentions
+        hash(tuple(sorted(norm_map.items()))),
     )
     cached = _DETECTOR_CACHE.get(cache_key)
     if cached is not None:
-        return cached
+        return cached[0]
 
     if path == "regex":
         alts = "|".join(re.escape(a) for a in sorted(norm_map, key=lambda a: (-len(a), a)))
@@ -201,7 +209,7 @@ def make_mention_detector(alias_list: list[str], spark=None):
                 lambda xs: list(dict.fromkeys(surface_of[x] for x in xs))
             )
 
-        detector = detect
+        detector, bc = detect, None
     else:
         import uuid
 
@@ -217,8 +225,11 @@ def make_mention_detector(alias_list: list[str], spark=None):
         detector = detect_trie
 
     if len(_DETECTOR_CACHE) >= 8:
+        for _, old_bc in _DETECTOR_CACHE.values():
+            if old_bc is not None:
+                old_bc.unpersist(False)
         _DETECTOR_CACHE.clear()
-    _DETECTOR_CACHE[cache_key] = detector
+    _DETECTOR_CACHE[cache_key] = (detector, bc)
     return detector
 
 
@@ -234,7 +245,21 @@ def best_links(alias_dict: DataFrame) -> DataFrame:
     )
 
 
-def link_mentions(pages: DataFrame, alias_dict: DataFrame, text_col: str = "text") -> DataFrame:
+def collect_alias_vocabulary(alias_dict: DataFrame) -> list[str]:
+    """One driver materialization of the alias vocabulary — collect it
+    ONCE per vocabulary version and pass it to ``link_mentions`` when
+    calling repeatedly (per bench iteration / streaming micro-batch): at
+    10⁷-10⁸ aliases the per-call driver collect is itself the bound,
+    detector cache or not."""
+    return [r.alias for r in alias_dict.select("alias").distinct().collect()]
+
+
+def link_mentions(
+    pages: DataFrame,
+    alias_dict: DataFrame,
+    text_col: str = "text",
+    aliases: list[str] | None = None,
+) -> DataFrame:
     """Detect alias mentions and link each to its best-scoring entity.
 
     - detection: Arrow-batched UDF over the text column (one compiled
@@ -242,8 +267,12 @@ def link_mentions(pages: DataFrame, alias_dict: DataFrame, text_col: str = "text
     - linking: broadcast join to the pre-argmaxed alias dictionary —
       map-side only, no shuffle of the mention table.
 
+    ``aliases``: optional pre-collected vocabulary (see
+    ``collect_alias_vocabulary``) — skips the per-call driver collect.
+
     Returns (url, surface, iri, score)."""
-    aliases = [r.alias for r in alias_dict.select("alias").distinct().collect()]
+    if aliases is None:
+        aliases = collect_alias_vocabulary(alias_dict)
     detect = make_mention_detector(aliases, spark=pages.sparkSession)
     mentions = pages.select(
         "url", F.explode(detect(F.col(text_col))).alias("surface")

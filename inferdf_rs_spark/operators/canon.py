@@ -26,24 +26,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caches import CheckpointTracker
 from ..schemas import KIND_BLANK
 
 
 def canonical_bnode_labels(triples: DataFrame, terms: DataFrame, iterations: int = 5) -> DataFrame:
-    """Returns (term_id, canon) for every blank node."""
+    """Returns (term_id, canon) for every blank node.
+
+    Storage discipline: each refinement round's color checkpoint
+    supersedes the previous one; superseded generations (and the
+    incidence list, once the last round has scanned it) are unpersisted
+    so the pool holds at most two color generations at any time.  Only
+    the final colors — backing the returned labels — stay persisted.
+    Degree note: ``collect_list`` of one blank's incidence multiset is
+    per-node; rule-minted blanks have small bounded degree, but a
+    pathologically high-degree blank would skew its one task.
+    """
+    tracker = CheckpointTracker(triples.sparkSession)
     blanks = terms.filter(F.col("kind") == KIND_BLANK).select("term_id")
-    colors = blanks.select("term_id", F.lit(0).cast("long").alias("color")).localCheckpoint(
-        eager=True
+    colors, color_ids = tracker.checkpoint(
+        blanks.select("term_id", F.lit(0).cast("long").alias("color"))
     )
 
     # incidence list touching blank nodes only (everything else is stable)
-    inc = (
+    inc, inc_ids = tracker.checkpoint(
         triples.select(F.col("s").alias("node"), F.lit(0).alias("dir"), "p", F.col("o").alias("other"))
         .unionByName(
             triples.select(F.col("o").alias("node"), F.lit(1).alias("dir"), "p", F.col("s").alias("other"))
         )
         .join(blanks.withColumnRenamed("term_id", "node"), "node", "left_semi")
-        .localCheckpoint(eager=True)
     )
 
     for _ in range(iterations):
@@ -64,11 +75,13 @@ def canonical_bnode_labels(triples: DataFrame, terms: DataFrame, iterations: int
             .groupBy("node")
             .agg(F.xxhash64(F.sort_array(F.collect_list("sig"))).alias("color"))
         )
-        colors = (
+        colors, new_ids = tracker.checkpoint(
             blanks.join(sig.withColumnRenamed("node", "term_id"), "term_id", "left")
             .select("term_id", F.coalesce(F.col("color"), F.lit(0)).alias("color"))
-            .localCheckpoint(eager=True)
         )
+        tracker.release(color_ids)  # superseded generation
+        color_ids = new_ids
+    tracker.release(inc_ids)  # the returned labels read only final colors
     return colors.select("term_id", F.col("color").alias("canon"))
 
 

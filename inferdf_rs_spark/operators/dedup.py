@@ -136,7 +136,16 @@ def minhash_near_dup_pairs(
 ) -> DataFrame:
     """Candidate pairs from LSH band collisions, verified by exact
     shingle-set Jaccard ≥ threshold.  Output (id_a, id_b, jaccard_micro)
-    with jaccard scaled to integer micro-units for engine-stable compare."""
+    with jaccard scaled to integer micro-units for engine-stable compare.
+
+    Cache lifecycle: the shingle and band tables are persisted only for
+    the duration of this call (each feeds two scans — signature+verify,
+    and the band self-join) and unpersisted before returning.  The
+    returned pair table is localCheckpoint-materialized (disk-evictable)
+    so it does not recompute through the released caches; callers that
+    repeat this per batch therefore retain only their own results."""
+    from pyspark.storagelevel import StorageLevel
+
     toks = norm_tokens(F.col(text_col))
     # persist: shingle arrays feed both the signature pass and the verify
     # join, and the band table self-joins — without caching each side of
@@ -144,9 +153,9 @@ def minhash_near_dup_pairs(
     base = docs.select(
         F.col(id_col),
         word_shingles(toks, shingle_words).alias("shingles"),
-    ).persist()
+    ).persist(StorageLevel.MEMORY_AND_DISK_DESER)
     sigs = minhash_signatures(docs, text_col, id_col, n_hashes, shingle_words, shingles=base)
-    bandsdf = lsh_bands(sigs, bands, n_hashes, id_col).persist()
+    bandsdf = lsh_bands(sigs, bands, n_hashes, id_col).persist(StorageLevel.MEMORY_AND_DISK_DESER)
     a = bandsdf.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = bandsdf.select(F.col(id_col).alias("id_b"), "band", "bucket")
     cands = (
@@ -165,9 +174,14 @@ def minhash_near_dup_pairs(
         .withColumn("jaccard", F.col("inter") / F.col("uni"))
         .filter(F.col("jaccard") >= threshold)
     )
-    return verified.select(
+    out = verified.select(
         "id_a", "id_b", F.floor(F.col("jaccard") * 1e6).cast("long").alias("jaccard_micro")
     )
+    try:
+        return out.localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK_DESER)
+    finally:
+        base.unpersist()
+        bandsdf.unpersist()
 
 
 # ------------------------------------------------------------ simhash

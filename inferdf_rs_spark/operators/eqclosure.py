@@ -23,6 +23,8 @@ import warnings
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caches import CheckpointTracker
+
 
 def eq_closure_with_rounds(
     eq_pairs: DataFrame, max_iter: int = 25, strict: bool = True
@@ -34,21 +36,27 @@ def eq_closure_with_rounds(
     ``strict``: raise if max_iter is exhausted while labels still move
     (a silent non-converged mapping would be *wrong*, merging nothing
     past the horizon); ``strict=False`` downgrades to a warning.
+
+    Storage discipline: each round's label checkpoint supersedes the
+    previous round's — superseded generations are unpersisted as soon as
+    the convergence probe has read them, so the storage pool holds at
+    most two label generations (plus the edge list) regardless of round
+    count.  Only the FINAL generation (backing the returned mapping)
+    survives; its lifecycle belongs to the caller.
     """
-    edges = (
+    tracker = CheckpointTracker(eq_pairs.sparkSession)
+    edges, edge_ids = tracker.checkpoint(
         eq_pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
         .unionByName(eq_pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
         .filter(F.col("x") != F.col("y"))
         .dropDuplicates()
-        .localCheckpoint(eager=True)
     )
     # label(x) = min over neighborhood ∪ self
-    labels = (
+    labels, label_ids = tracker.checkpoint(
         edges.select("x", "y")
         .unionByName(edges.select(F.col("x"), F.col("x").alias("y")))
         .groupBy("x")
         .agg(F.min("y").alias("lbl"))
-        .localCheckpoint(eager=True)
     )
     rounds = 0
     converged = False
@@ -72,7 +80,7 @@ def eq_closure_with_rounds(
             )
             .select(F.col("l1.x").alias("x"), F.col("jlbl"))
         )
-        new_labels = (
+        new_labels, new_ids = tracker.checkpoint(
             labels.join(nb, "x", "left")
             .join(jump, "x", "left")
             .select(
@@ -83,7 +91,6 @@ def eq_closure_with_rounds(
                     F.coalesce(F.col("jlbl"), F.col("lbl")),
                 ).alias("lbl"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -92,7 +99,9 @@ def eq_closure_with_rounds(
             .limit(1)
             .count()
         )
-        labels = new_labels
+        # the old generation has now been read for the last time
+        tracker.release(label_ids)
+        labels, label_ids = new_labels, new_ids
         if changed == 0:
             converged = True
             break
@@ -105,6 +114,7 @@ def eq_closure_with_rounds(
         if strict:
             raise RuntimeError(msg)
         warnings.warn(msg)
+    tracker.release(edge_ids)  # the mapping reads only the final labels
     return labels.select(F.col("x").alias("term_id"), F.col("lbl").alias("res")), rounds
 
 

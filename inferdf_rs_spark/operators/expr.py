@@ -287,14 +287,16 @@ class ExprCompiler:
             #    ambiguity, ``Comparable::from_value``) are lazy — arg k
             #    is only converted if every earlier adjacent pair
             #    compared true, so ``(lt 3 2 <ambiguous>)`` is Ok(false),
-            #    not an error.
+            #    not an error.  With fewer than 2 args NO conversion ever
+            #    runs (the reference's pair loop is empty), so a lone
+            #    unparsable-resource arg is Ok(true), not an error.
             err = F.lit(ERR_NONE)
             for a in args:
                 if not a.is_resource:
                     err = F.when(err != ERR_NONE, err).otherwise(a.err)
             state_false = F.lit(False)  # some earlier pair compared false
             for k, a in enumerate(args):
-                if a.is_resource:
+                if a.is_resource and len(args) >= 2:
                     err = F.when(err != ERR_NONE, err).otherwise(
                         F.when(~state_false, a.err).otherwise(F.lit(ERR_NONE))
                     )

@@ -46,11 +46,20 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caches import CheckpointTracker, unpersist_rdd_ids
 from ..rules import Rule
-from ..schemas import TRIPLE_KEY, TERMS_SCHEMA, TRIPLES_SCHEMA
+from ..schemas import CAUSE_ENTAILED, TRIPLE_KEY, TERMS_SCHEMA, TRIPLES_SCHEMA
 from ..terms import merge_terms, resource_facets
 from .conclude import Concluded, conclude, merge_concluded
 from .match import find_substitutions
+
+# the per-round exchanged row: triple key + minimal int lineage.  The
+# constant-per-round lineage (cause_kind, round, g) and the derivable
+# src_partition label are re-attached LAZILY after the piece checkpoint
+# (see _attach_lineage) so they never ride through the dedup/anti-join/
+# repartition exchanges — 4 fewer UnsafeRow slots (incl. the one string)
+# per shuffled row.
+NARROW_COLS = ["s", "p", "o", "sign", "rule_id", "subst_hash"]
 
 
 class ExpressionError(RuntimeError):
@@ -65,6 +74,27 @@ class FixpointResult:
     trues: DataFrame
     rounds: int
     metrics: list = field(default_factory=list)
+    # persistent-RDD ids backing store/terms/eqs/trues — release() frees
+    # them once the caller has copied (or finished with) the result
+    cache_ids: set = field(default_factory=set)
+    # Dataset-level persists (the base store cache): released via
+    # df.unpersist() so the CacheManager entry goes too, not just blocks
+    persisted_dfs: list = field(default_factory=list)
+
+    def release(self, blocking: bool = False) -> None:
+        """Unpersist every cache/checkpoint this fixpoint run created.
+
+        The result DataFrames become unusable afterwards (localCheckpoint
+        lineage is truncated) — call only after materializing your own
+        copy (e.g. ``store.localCheckpoint()`` or a parquet write).
+        Long-running callers (streaming: one fixpoint per micro-batch)
+        MUST do this or the storage pool grows by one store copy per
+        batch."""
+        for df in self.persisted_dfs:
+            df.unpersist(blocking)
+        self.persisted_dfs = []
+        unpersist_rdd_ids(self.store.sparkSession, self.cache_ids, blocking)
+        self.cache_ids = set()
 
 
 def _deduce_round(
@@ -196,6 +226,13 @@ def fixpoint(
     """
     from pyspark.storagelevel import StorageLevel
 
+    # normalize to the fact-table contract: callers may hand a store with
+    # extra physical columns (e.g. the p_bucket partition column of a
+    # materialized graph) — those must not leak into piece unions
+    _schema_cols = [f.name for f in TRIPLES_SCHEMA.fields]
+    if [c for c in store.columns if c not in _schema_cols]:
+        store = store.select(*_schema_cols)
+
     eqs = spark.createDataFrame([], EQS_SCHEMA)
     trues = spark.createDataFrame([], TRUES_SCHEMA)
     metrics: list[dict] = []
@@ -220,6 +257,35 @@ def fixpoint(
         delta = initial_delta  # None ⇒ round 1 = full deduce
 
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    tracker = CheckpointTracker(spark)
+
+    # src_partition for entailed facts is derivable from rule_id — a
+    # tiny when-chain re-attached after the exchanges, never shuffled
+    _src_label = F.lit(None).cast("string")
+    for _i, _r in reversed(list(enumerate(rules))):
+        _src_label = F.when(F.col("rule_id") == F.lit(_r.rule_id), F.lit(f"r{_i}")).otherwise(
+            _src_label
+        )
+
+    def _attach_lineage(df: DataFrame, rnd_num: int) -> DataFrame:
+        """Narrow exchanged rows → full TRIPLES_SCHEMA (lazy projection
+        over checkpointed blocks; the constants never hit the wire)."""
+        return df.select(
+            "s",
+            "p",
+            "o",
+            "sign",
+            F.lit(CAUSE_ENTAILED).cast("int").alias("cause_kind"),
+            "rule_id",
+            "subst_hash",
+            F.lit(rnd_num).cast("int").alias("round"),
+            _src_label.alias("src_partition"),
+            F.lit(None).cast("long").alias("g"),
+        )
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        out, _ = tracker.checkpoint(df)
+        return out
 
     def _piece(df: DataFrame, big: bool) -> DataFrame:
         """Hash-partition on the triple key, sort within partitions, then
@@ -243,7 +309,8 @@ def fixpoint(
         prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         try:
-            return rp.localCheckpoint(eager=True, storageLevel=lvl)
+            out, ids = tracker.checkpoint(rp, storage_level=lvl)
+            return out, ids
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
@@ -252,18 +319,20 @@ def fixpoint(
     # piece exists) so the storage pool holds ONE copy of the store, not
     # two — double-buffering 38M+ rows was measured to push the pool into
     # eviction thrash and slow every later scan
-    base = store.persist(StorageLevel.MEMORY_AND_DISK_DESER)
-    store_rows = base.count()
+    base, base_ids = tracker.persist(store, StorageLevel.MEMORY_AND_DISK_DESER)
+    store_rows = base.count()  # cached — the tracked persist materialized it
     large = store_rows > store_broadcast_rows
     if large:
         # _piece (AQE off for partitioning capture) reshuffles cached blocks
-        pieces = [_piece(base, big=True)]
+        pc0, ids0 = _piece(base, big=True)
+        pieces, piece_idsets = [pc0], [ids0]
         base.unpersist()
+        tracker.ids -= base_ids
     else:
-        pieces = [base]
-    terms = terms.localCheckpoint(eager=True)
+        pieces, piece_idsets = [base], [base_ids]
+    terms = _ckpt(terms)
     if delta is not None:
-        delta = delta.localCheckpoint(eager=True)
+        delta = _ckpt(delta)
 
     def store_union() -> DataFrame:
         out = pieces[0]
@@ -278,6 +347,9 @@ def fixpoint(
 
     rnd = start_round
     last_new = 0
+    # blocks kept alive one extra round because the delta still reads
+    # them after their piece was compacted away (released next round)
+    carry_release: set = set()
     # A checkpoint resumed at start_round > 0 with meta done=False is NOT
     # converged — if it already sits at max_rounds the loop never runs and
     # the allow_partial contract below must still fire.
@@ -292,12 +364,14 @@ def fixpoint(
         deduced = c.triples if insert_negatives else c.triples.filter(F.col("sign"))
         # dedup BEFORE the anti-join: dropDuplicates runs a map-side partial
         # aggregate that shrinks the conclusions stream before it hits the
-        # wire.  Small regime: one broadcast anti-join against the whole
-        # store (map-side, zero exchange).  Large regime: chained anti-joins
+        # wire — and only the NARROW_COLS projection rides the exchanges
+        # (constants + the src label re-attach after the checkpoint).
+        # Small regime: one broadcast anti-join against the whole store
+        # (map-side, zero exchange).  Large regime: chained anti-joins
         # against co-partitioned pieces → zero *store-side* exchange per
         # round (only the conclusions stream shuffles) — the plan that
         # survives a store too big to broadcast.
-        new = deduced.dropDuplicates(TRIPLE_KEY)
+        new = deduced.select(*NARROW_COLS).dropDuplicates(TRIPLE_KEY)
         if large:
             for pc in pieces:
                 new = new.join(pc.select(*TRIPLE_KEY), on=TRIPLE_KEY, how="left_anti")
@@ -307,10 +381,10 @@ def fixpoint(
             )
 
         # fold the strict-error indicator into the same materialization as
-        # the delta (error rows ride along with cause_kind < 0) — one
-        # deduction computation per round, not two.  The deduction runs
-        # under AQE in this localCheckpoint; the following _piece shuffle
-        # (AQE off for partitioning capture) only re-reads its blocks.
+        # the delta (error rows ride along with err > 0) — one deduction
+        # computation per round, not two.  The deduction runs under AQE in
+        # this localCheckpoint; the following _piece shuffle (AQE off for
+        # partitioning capture) only re-reads its blocks.
         check_errors = strict_errors and any(r.has_expressions() for _, r in active)
         if check_errors:
             err_rows = c.errors.select(
@@ -318,14 +392,11 @@ def fixpoint(
                 F.lit(None).cast("long").alias("p"),
                 F.lit(None).cast("long").alias("o"),
                 F.lit(True).alias("sign"),
-                (-F.col("err")).cast("int").alias("cause_kind"),
                 F.col("rule_id"),
                 F.col("subst_hash"),
-                F.lit(rnd).cast("int").alias("round"),
-                F.lit("err").alias("src_partition"),
-                F.lit(None).cast("long").alias("g"),
+                F.col("err").cast("int").alias("err"),
             )
-            staged = new.unionByName(err_rows)
+            staged = new.withColumn("err", F.lit(0).cast("int")).unionByName(err_rows)
         else:
             staged = new
         # one materialization of the round's delta under AQE.  Large
@@ -333,30 +404,36 @@ def fixpoint(
         # it and the copy is released (a leaked copy per round was
         # measured to thrash the storage pool).  Small regime: the
         # checkpoint IS the store piece, so it stays.
+        staged_ids: set = set()
         if large:
             staged = staged.persist(StorageLevel.MEMORY_AND_DISK_DESER)
             staged.count()
         else:
-            staged = staged.localCheckpoint(eager=True)
+            staged, staged_ids = tracker.checkpoint(staged)
         if check_errors:
-            bad = staged.filter(F.col("cause_kind") < 0).limit(1).collect()
+            bad = staged.filter(F.col("err") > 0).limit(1).collect()
             if bad:
                 if large:
                     staged.unpersist()
                 raise ExpressionError(
-                    f"expression error in round {rnd}: err={-bad[0].cause_kind} "
+                    f"expression error in round {rnd}: err={bad[0].err} "
                     f"rule_id={bad[0].rule_id} subst_hash={bad[0].subst_hash}"
                 )
-            new_src = staged.filter(F.col("cause_kind") >= 0)
+            new_src = staged.filter(F.col("err") == 0).drop("err")
         else:
             new_src = staged
         if large:
-            new = _piece(new_src, big=last_new > delta_disk_threshold)
+            new, new_ids = _piece(new_src, big=last_new > delta_disk_threshold)
             staged.unpersist()
         else:
-            new = new_src  # (a filter over) checkpointed blocks
+            new = new_src  # (a filter over) checkpointed narrow blocks
+            new_ids = staged_ids
         n_new = new.count()
         last_new = n_new
+        if carry_release:
+            tracker.release(carry_release)  # last round's delta, now drained
+            carry_release = set()
+        new_full = _attach_lineage(new, rnd)
         if debug_timing:
             sys.stderr.write(
                 f"[fixpoint] round={rnd} new={n_new} rules={[i for i, _ in active]} "
@@ -372,25 +449,26 @@ def fixpoint(
 
         new_terms = spark.createDataFrame([], TERMS_SCHEMA)
         if any_mints:
-            new_terms = (
+            new_terms = _ckpt(
                 c.new_terms.join(terms.select("term_id"), on="term_id", how="left_anti")
                 .dropDuplicates(["term_id"])
-                .localCheckpoint(eager=True)
             )
         round_eqs = c.eqs.dropDuplicates()
         round_trues = c.trues.dropDuplicates()
         if any_eqs:
-            round_eqs = round_eqs.localCheckpoint(eager=True)
+            round_eqs = _ckpt(round_eqs)
             eqs = eqs.unionByName(round_eqs).dropDuplicates()
         if any_trues:
-            round_trues = round_trues.localCheckpoint(eager=True)
+            round_trues = _ckpt(round_trues)
             trues = trues.unionByName(round_trues).dropDuplicates()
 
         metrics.append({"round": rnd, "new_facts": n_new, "rules_run": [i for i, _ in active]})
         done = n_new == 0
 
         if checkpoint_dir:
-            new.write.mode("overwrite").parquet(os.path.join(checkpoint_dir, f"delta/round={rnd}"))
+            new_full.write.mode("overwrite").parquet(
+                os.path.join(checkpoint_dir, f"delta/round={rnd}")
+            )
             if any_mints:
                 new_terms.write.mode("overwrite").parquet(
                     os.path.join(checkpoint_dir, f"new_terms/round={rnd}")
@@ -408,21 +486,26 @@ def fixpoint(
         if done:
             break
         store_rows += n_new
-        pieces.append(new)
-        if not large and store_rows > store_broadcast_rows:
-            # crossed the broadcastable horizon: switch to co-partitioned
-            # pieces (one store-size exchange, then exchange-free rounds);
-            # the persisted base copy is superseded — release it
+        pieces.append(new_full)
+        piece_idsets.append(new_ids)
+        if (not large and store_rows > store_broadcast_rows) or (
+            large and len(pieces) > compact_pieces
+        ):
+            # crossed the broadcastable horizon (one store-size exchange,
+            # then exchange-free rounds) — or compacting the piece chain
+            # (the same exchange, amortized over compact_pieces rounds).
+            # Superseded piece generations are released, EXCEPT the
+            # current round's blocks, which the next round's delta reads.
             large = True
-            pieces = [_piece(store_union(), big=True)]
-            base.unpersist()
-        elif large and len(pieces) > compact_pieces:
-            # one store-size exchange, amortized over compact_pieces rounds
-            pieces = [_piece(store_union(), big=True)]
+            merged, merged_ids = _piece(store_union(), big=True)
+            for ids in piece_idsets[:-1]:
+                tracker.release(ids - new_ids)
+            carry_release = set(new_ids)  # delta reads these one more round
+            pieces, piece_idsets = [merged], [merged_ids]
         if any_mints:
             terms = merge_terms(terms, new_terms)
             if rnd % 8 == 0:
-                terms = terms.localCheckpoint(eager=True)
+                terms = _ckpt(terms)
         delta = new
 
     if not done and not allow_partial:
@@ -431,7 +514,9 @@ def fixpoint(
             f"(last delta={last_new} facts) — the closure is incomplete; "
             "raise max_rounds or pass allow_partial=True"
         )
-    return FixpointResult(store_union(), terms, eqs, trues, rnd, metrics)
+    return FixpointResult(
+        store_union(), terms, eqs, trues, rnd, metrics, tracker.ids, [base] if not large else []
+    )
 
 
 def load_checkpoint(spark: SparkSession, checkpoint_dir: str):

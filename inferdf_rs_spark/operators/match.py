@@ -32,9 +32,16 @@ def scan_pattern(triples: DataFrame, pattern: SignedPattern, const_ids: ConstIds
     - pattern sign selects the store sign partition; on a store with no
       negative rows a negative pattern matches nothing — the closed-world
       blanket impl of src/dataset.rs:46-60.
+    - a store opened via ``pipelines.webkg.read_graph`` carries its
+      predicate-bucket count (``_inferdf_p_buckets`` attribute); a
+      constant-``p`` pattern then also filters on the ``p_bucket``
+      partition column, so the parquet scan prunes to one bucket
+      directory — the reference's canonical-pattern index
+      (src/pattern/map.rs:13-25) as Hive-style partition pruning.
 
     Output columns: ``v{i}`` for each variable ``i`` in the pattern.
     """
+    n_p_buckets = getattr(triples, "_inferdf_p_buckets", None)
     cond = F.col("sign") == F.lit(bool(pattern.sign))
     proj: dict[int, str] = {}
     for pos_name, node in zip(("s", "p", "o"), pattern.positions()):
@@ -45,6 +52,10 @@ def scan_pattern(triples: DataFrame, pattern: SignedPattern, const_ids: ConstIds
                 proj[node.index] = pos_name
         elif isinstance(node, Term):
             cond = cond & (F.col(pos_name) == F.lit(const_ids[node]))
+            if pos_name == "p" and n_p_buckets:
+                cond = cond & (
+                    F.col("p_bucket") == F.lit(int(const_ids[node]) % int(n_p_buckets))
+                )
         else:
             raise TypeError(f"pattern position must be Var or Term, got {node!r}")
     out = triples.filter(cond)

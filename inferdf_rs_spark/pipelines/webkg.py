@@ -20,7 +20,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..encode import encode_edges, term_rows
+from ..encode import dedup_triples, encode_edges, term_rows
 from ..engine import Dataset, System
 from ..extraction import synth
 from ..extraction.extract import extract_text, link_mentions, verify_fidelity
@@ -72,9 +72,14 @@ def stated_edges(
     entity_types: DataFrame,
     sameas: DataFrame,
     text_col: str = "extracted_text",
+    aliases: list[str] | None = None,
 ) -> DataFrame:
-    """Assemble the stated-edge table (lexical, pre-encoding)."""
-    linked = link_mentions(pages, alias_dict, text_col=text_col)
+    """Assemble the stated-edge table (lexical, pre-encoding).
+
+    ``aliases``: optional pre-collected alias vocabulary — repeated
+    callers (bench iterations, streaming micro-batches) collect the
+    dictionary once instead of once per call."""
+    linked = link_mentions(pages, alias_dict, text_col=text_col, aliases=aliases)
     null_s = F.lit(None).cast("string")
 
     def iri_obj(df):
@@ -109,6 +114,27 @@ def stated_edges(
     return mention_edges.unionByName(type_edges).unionByName(same_edges).unionByName(lang_edges)
 
 
+def static_term_rows(spark: SparkSession, alias_d, etypes, sameas) -> DataFrame:
+    """Dictionary rows for the batch-invariant term sources: the static
+    predicate list and the entity/type/sameAs IRIs of the broadcast
+    dimensions.  These are identical across bench iterations and
+    streaming micro-batches — compute once, ``localCheckpoint``, and pass
+    to ``run_pipeline(static_terms=...)`` so each iteration skips one
+    distinct-shuffle per source (the per-iteration dictionary then only
+    encodes what actually varies: urls and langs)."""
+    preds = spark.createDataFrame(
+        [(p,) for p in (KG + "mentions", KG + "sameAs", KG + "inLang", RDF_TYPE)], "lex string"
+    )
+    ent_lex = (
+        alias_d.select(F.col("iri").alias("lex"))
+        .unionByName(etypes.select(F.col("iri").alias("lex")))
+        .unionByName(etypes.select(F.col("type").alias("lex")))
+        .unionByName(sameas.select(F.col("a").alias("lex")))
+        .unionByName(sameas.select(F.col("b").alias("lex")))
+    )
+    return term_rows(preds, KIND_IRI, "lex").unionByName(term_rows(ent_lex, KIND_IRI, "lex"))
+
+
 @dataclass
 class PipelineResult:
     result: FixpointResult
@@ -127,6 +153,8 @@ def run_pipeline(
     max_rounds: int = 20,
     skip_fidelity: bool = False,
     audit_dictionary: bool = False,
+    static_terms: DataFrame | None = None,
+    aliases: list[str] | None = None,
 ) -> PipelineResult:
     timings: dict[str, float] = {}
 
@@ -160,37 +188,28 @@ def run_pipeline(
         synth.entity_types(spark),
         synth.sameas_seed(spark),
     )
-    edges = stated_edges(spark, pages, alias_d, etypes, sameas)
+    edges = stated_edges(spark, pages, alias_d, etypes, sameas, aliases=aliases)
     # dictionary from its natural sources instead of a distinct over the
     # 3x-projected edge table: urls are unique per page (no shuffle),
-    # predicates are a static list, entities/types come from broadcast
-    # dims, langs are a low-cardinality distinct
-    preds = spark.createDataFrame(
-        [(p,) for p in (KG + "mentions", KG + "sameAs", KG + "inLang", RDF_TYPE)], "lex string"
-    )
-    ent_lex = (
-        alias_d.select(F.col("iri").alias("lex"))
-        .unionByName(etypes.select(F.col("iri").alias("lex")))
-        .unionByName(etypes.select(F.col("type").alias("lex")))
-        .unionByName(sameas.select(F.col("a").alias("lex")))
-        .unionByName(sameas.select(F.col("b").alias("lex")))
-    )
+    # predicates/entities/types are batch-invariant (precomputable via
+    # static_term_rows), langs are a low-cardinality distinct
+    if static_terms is None:
+        static_terms = static_term_rows(spark, alias_d, etypes, sameas)
     from ..schemas import KIND_LITERAL as _KL
 
     terms_df = (
         term_rows(pages, KIND_IRI, "url", distinct=False)
-        .unionByName(term_rows(preds, KIND_IRI, "lex"))
-        .unionByName(term_rows(ent_lex, KIND_IRI, "lex"))
+        .unionByName(static_terms)
         .unionByName(term_rows(pages.select("lang").distinct(), _KL, "lang", XSD_STRING, distinct=False))
     )
     ds = encode_edges(spark, edges, terms=terms_df)
     sysm = System(spark, web_rules())
     # materialize the stated layer once: it feeds every fixpoint round.
     # set semantics: duplicate stated edges (two alias surfaces of one
-    # entity on a page) collapse on the triple key, like the reference's
-    # idempotent insert.  rule-constant terms join the dictionary so
-    # decode/facets cover them.
-    triples = ds.triples.dropDuplicates(["s", "p", "o", "sign"]).localCheckpoint(eager=True)
+    # entity on a page) collapse on the triple key with a deterministic
+    # tie-break, like the reference's idempotent insert.  rule-constant
+    # terms join the dictionary so decode/facets cover them.
+    triples = dedup_triples(ds.triples).localCheckpoint(eager=True)
     terms = (
         ds.terms.unionByName(sysm.rule_constants_terms())
         .dropDuplicates(["term_id"])
@@ -225,27 +244,63 @@ def run_pipeline(
 # ------------------------------------------------------------ materialize
 
 
-def write_graph(triples: DataFrame, terms: DataFrame, out_dir: str, n_buckets: int = 16, metrics=None) -> None:
+def write_graph(
+    triples: DataFrame,
+    terms: DataFrame,
+    out_dir: str,
+    n_buckets: int = 16,
+    metrics=None,
+    writers_per_bucket: int = 1,
+) -> None:
     """Materialize: triples partitioned by predicate bucket (p-bound
     pattern scans prune partitions — the Spark analogue of the
     reference's canonical-pattern index), terms dimension, metrics.
 
+    The rows are repartitioned onto exactly
+    ``n_buckets × writers_per_bucket`` writer tasks, co-located by
+    bucket, BEFORE ``partitionBy``: without this every post-AQE task
+    holds rows of every bucket and writes one file into every bucket
+    directory — tasks × buckets small files whose commit/rename storm
+    *grows with task count* (measured anti-scaling: 13.7s at 32 cores vs
+    7.5s at 8 on the same data; one-writer-per-bucket makes the write a
+    flat parallel fan-out again).  At cluster scale raise
+    ``writers_per_bucket`` so each writer still holds ≲ one task's worth
+    of rows: file count stays bounded at buckets × writers while write
+    parallelism scales with the cluster.
+
     Iceberg would add snapshot isolation on a real cluster; the jars are
     not in this container, so plain parquet with identical layout."""
-    (
-        triples.withColumn("p_bucket", F.pmod(F.col("p"), F.lit(n_buckets)).cast("int"))
-        .write.mode("overwrite")
-        .partitionBy("p_bucket")
-        .parquet(os.path.join(out_dir, "triples"))
-    )
+    out = triples.withColumn("p_bucket", F.pmod(F.col("p"), F.lit(n_buckets)).cast("int"))
+    if writers_per_bucket > 1:
+        out = out.repartition(
+            n_buckets * writers_per_bucket,
+            "p_bucket",
+            F.pmod(F.xxhash64("s", "o"), F.lit(writers_per_bucket)),
+        )
+    else:
+        out = out.repartition(n_buckets, "p_bucket")
+    out.write.mode("overwrite").partitionBy("p_bucket").parquet(os.path.join(out_dir, "triples"))
     terms.write.mode("overwrite").parquet(os.path.join(out_dir, "terms"))
+    with open(os.path.join(out_dir, "graph_meta.json"), "w") as f:
+        json.dump({"n_p_buckets": n_buckets}, f)
     if metrics is not None:
         with open(os.path.join(out_dir, "metrics.json"), "w") as f:
             json.dump(metrics, f)
 
 
 def read_graph(spark: SparkSession, out_dir: str) -> Dataset:
-    return Dataset(
-        spark.read.parquet(os.path.join(out_dir, "triples")).drop("p_bucket"),
-        spark.read.parquet(os.path.join(out_dir, "terms")),
-    )
+    """Open a materialized graph.  The triples DataFrame RETAINS the
+    ``p_bucket`` partition column and carries the bucket count as the
+    ``_inferdf_p_buckets`` attribute: ``operators.match.scan_pattern``
+    reads it to add the bucket predicate for p-bound patterns, so those
+    scans prune to 1/n_buckets of the partitions (the reference's
+    canonical-pattern index, expressed as Hive-style partition pruning).
+    The engine drops the extra column at fixpoint entry, so the dataset
+    still feeds every API."""
+    triples = spark.read.parquet(os.path.join(out_dir, "triples"))
+    try:
+        with open(os.path.join(out_dir, "graph_meta.json")) as f:
+            triples._inferdf_p_buckets = json.load(f)["n_p_buckets"]
+    except FileNotFoundError:
+        triples = triples.drop("p_bucket")  # pre-meta layout: no pruning
+    return Dataset(triples, spark.read.parquet(os.path.join(out_dir, "terms")))

@@ -40,27 +40,55 @@ COMPARE_OPS = {"eq", "ne", "lt", "leq", "gt", "geq"}
 _JAVA_ONLY_ESCAPES = set("GhHRXv")  # \v: vertical-ws class in Java, VT in Rust
 
 
+_INTERVAL_RE = _re.compile(r"\{\d+(,\d*)?\}")
+
+
 def _find_divergent(pattern: str) -> str | None:
     """Left-to-right scan honoring escapes (a single regex over the
     pattern misreads e.g. ``\\++`` — escaped plus then quantifier — as a
     possessive quantifier, and ``\\\\1`` — escaped backslash then '1' —
-    as a backreference)."""
+    as a backreference).  ``[...]`` character classes are skipped (a
+    ``+`` after ``*`` *inside a class*, e.g. ``[*+]``, is a literal, not
+    a possessive quantifier), and ``}`` counts as quantifiable only when
+    it closes a real ``{m,n}`` interval — a literal ``}`` followed by
+    ``+`` is an ordinary repeated literal in both dialects."""
     i, n = 0, len(pattern)
-    prev_quantifiable = False  # prev token was *, +, ?, or a {...} closer
+    prev_quantifiable = False  # prev token was *, +, ? or an interval closer
+    in_class = False
+    class_start = -1  # position just after '[' (or '[^') for ']'-literal rule
+    interval_close = -1  # index of the '}' closing a pending {m,n}
     while i < n:
         ch = pattern[i]
         if ch == "\\":
             if i + 1 >= n:
                 return "\\"
             nxt = pattern[i + 1]
-            if nxt.isdigit() and nxt != "0":
-                return pattern[i : i + 2]  # numbered backreference
-            if nxt in _JAVA_ONLY_ESCAPES:
-                return pattern[i : i + 2]
-            if nxt == "k" and i + 2 < n and pattern[i + 2] == "<":
-                return "\\k<"  # named backreference
+            if not in_class:
+                if nxt.isdigit() and nxt != "0":
+                    return pattern[i : i + 2]  # numbered backreference
+                if nxt in _JAVA_ONLY_ESCAPES:
+                    return pattern[i : i + 2]
+                if nxt == "k" and i + 2 < n and pattern[i + 2] == "<":
+                    return "\\k<"  # named backreference
+            elif nxt in _JAVA_ONLY_ESCAPES:
+                return pattern[i : i + 2]  # class escapes diverge too
             i += 2
             prev_quantifiable = False
+            continue
+        if in_class:
+            # ']' immediately after '[' / '[^' is a literal in both dialects
+            if ch == "]" and i > class_start:
+                in_class = False
+                # '[..]+' is a plain greedy quantifier (']' itself is not
+                # one), so a possessive flag only fires at '[..]++'
+                prev_quantifiable = False
+            i += 1
+            continue
+        if ch == "[":
+            in_class = True
+            class_start = i + (2 if pattern.startswith("[^", i) else 1)
+            prev_quantifiable = False
+            i += 1
             continue
         if ch == "(" and pattern.startswith("(?", i):
             for bad in ("(?=", "(?!", "(?<=", "(?<!", "(?>"):
@@ -68,7 +96,11 @@ def _find_divergent(pattern: str) -> str | None:
                     return bad
         if ch == "+" and prev_quantifiable:
             return pattern[i - 1 : i + 1]  # possessive quantifier *+ ++ ?+ }+
-        prev_quantifiable = ch in "*+?}"
+        if ch == "{" and interval_close < i:
+            m = _INTERVAL_RE.match(pattern, i)
+            if m:
+                interval_close = m.end() - 1
+        prev_quantifiable = ch in "*+?" or (ch == "}" and i == interval_close)
         i += 1
     return None
 

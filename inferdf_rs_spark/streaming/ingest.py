@@ -21,7 +21,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..encode import encode_edges
+from ..encode import dedup_triples, encode_edges
 from ..engine import Dataset, System
 from ..schemas import PAGES_SCHEMA, TRIPLE_KEY
 from ..terms import merge_terms
@@ -38,6 +38,8 @@ class StreamingGraph:
     the raise-on-round-cap guarantee (no silent partial closure)."""
 
     def __init__(self, spark: SparkSession, system: System, out_dir: str):
+        from ..caches import CheckpointTracker
+
         self.spark = spark
         self.system = system
         self.out_dir = out_dir
@@ -46,13 +48,15 @@ class StreamingGraph:
         self.eqs: DataFrame | None = None
         self.trues: DataFrame | None = None
         self.batches = 0
+        self._tracker = CheckpointTracker(spark)
+        self._gen_ids: set[int] = set()
 
     def process_batch(self, edges: DataFrame, epoch_id: int) -> None:
         from ..operators.fixpoint import fixpoint
 
         ds = encode_edges(self.spark, edges, src_partition=f"stream:{epoch_id}")
-        new_triples = ds.triples.dropDuplicates(TRIPLE_KEY).localCheckpoint(eager=True)
-        new_terms = ds.terms.localCheckpoint(eager=True)
+        new_triples, ids_in1 = self._tracker.checkpoint(dedup_triples(ds.triples))
+        new_terms, ids_in2 = self._tracker.checkpoint(ds.terms)
 
         if self.store is None:
             base_terms = merge_terms(new_terms, self.system.rule_constants_terms())
@@ -71,12 +75,24 @@ class StreamingGraph:
                 self.system.functions,
                 initial_delta=delta,
             )
-        self.store = res.store.localCheckpoint(eager=True)
-        self.terms = res.terms.localCheckpoint(eager=True)
-        self.eqs = res.eqs if self.eqs is None else self.eqs.unionByName(res.eqs).dropDuplicates()
-        self.trues = (
+        # copy the result out of the fixpoint's internal caches, then
+        # release them AND the previous batch's generation: without this
+        # every micro-batch would leave one cached copy of the (growing)
+        # store in the pool — unbounded memory/disk growth in a
+        # long-running stream.  The pool holds exactly one generation of
+        # (store, terms, eqs, trues) between batches.
+        old_gen = self._gen_ids
+        self.store, ids_s = self._tracker.checkpoint(res.store)
+        self.terms, ids_t = self._tracker.checkpoint(res.terms)
+        eqs = res.eqs if self.eqs is None else self.eqs.unionByName(res.eqs).dropDuplicates()
+        trues = (
             res.trues if self.trues is None else self.trues.unionByName(res.trues).dropDuplicates()
         )
+        self.eqs, ids_e = self._tracker.checkpoint(eqs)
+        self.trues, ids_r = self._tracker.checkpoint(trues)
+        self._gen_ids = ids_s | ids_t | ids_e | ids_r
+        res.release()
+        self._tracker.release(old_gen | ids_in1 | ids_in2)
         self.batches += 1
 
     def counts(self) -> tuple[int, int]:

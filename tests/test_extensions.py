@@ -84,10 +84,11 @@ def test_dataset_roundtrip_formats(spark, tmp_path, fmt):
 
 
 def test_ann_lsh_recall_vs_exact(spark):
-    """Correctness signal for the approximate ANN path: multi-table
-    multi-probe sign-LSH must reach recall ≥ 0.6 @ k=10 against the
-    brute-force exact top-k on the sf0.01 fixture (measured 0.96 at the
-    default n_tables=8, n_planes=8, n_probes=3)."""
+    """Semantic-quality guard for the ANN path (row-level correctness is
+    the DuckDB oracle in __spark_entry__): multi-table multi-probe
+    sign-LSH must reach recall ≥ 0.9 @ k=10 against the brute-force
+    exact top-k on the sf0.01 fixture (measured 0.96 at the default
+    n_tables=8, n_planes=8, n_probes=3 with integer-quantized planes)."""
     from inferdf_rs_spark.operators import similarity
 
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
@@ -96,7 +97,49 @@ def test_ann_lsh_recall_vs_exact(spark):
     approx = similarity.lsh_bucket_ann(emb, qids, k=10, dim=64)
     recall = similarity.recall_vs_exact(approx, exact)
     emb.unpersist()
-    assert recall >= 0.6, f"LSH-ANN recall {recall} < 0.6"
+    assert recall >= 0.9, f"LSH-ANN recall {recall} < 0.9"
+
+
+def test_ann_lsh_auto_planes_bound_occupancy(spark):
+    """auto_n_planes must grow the plane count with the corpus so the
+    probed-candidate count stays SUBLINEAR in n: a 10× corpus gets more
+    planes and produces far fewer than 10× the candidates."""
+    import hashlib
+
+    from inferdf_rs_spark.operators import similarity
+
+    assert similarity.auto_n_planes(5_000) > similarity.auto_n_planes(500)
+    # expected per-table occupancy bounded across 6 orders of magnitude
+    for n in (10**3, 10**5, 10**7):
+        planes = similarity.auto_n_planes(n)
+        assert n / 2**planes <= 64 or planes == 24  # hi-clamp at extreme n
+
+    def vecs(n, dim=16):
+        rows = [
+            (
+                i,
+                [
+                    float(
+                        int.from_bytes(hashlib.md5(f"v:{i}:{d}".encode()).digest()[:4], "big")
+                        / 2**32
+                        - 0.5
+                    )
+                    for d in range(dim)
+                ],
+            )
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    qids = [0, 1, 2]
+    c_small = similarity.lsh_candidate_count(
+        vecs(500), qids, dim=16, n_planes=None, n_vectors=500, n_probes=1
+    )
+    c_big = similarity.lsh_candidate_count(
+        vecs(5_000), qids, dim=16, n_planes=None, n_vectors=5_000, n_probes=1
+    )
+    # measured ratio ≈ 2.2 at 10× corpus; assert comfortably sublinear
+    assert c_big < 5 * c_small, f"candidates scaled ~linearly: {c_small} -> {c_big}"
 
 
 def test_ann_lsh_requires_dim(spark):

@@ -335,6 +335,39 @@ def test_regex_dialect_lint_rejects_divergent():
         lint_regex_dialect(ok)
 
 
+def test_regex_dialect_lint_character_classes():
+    # quantifier-looking characters INSIDE [...] are literals in both
+    # dialects, and a literal '}' (no {m,n} interval) followed by '+' is
+    # an ordinary repeated literal — neither is a possessive quantifier
+    from inferdf_rs_spark.rules import lint_regex_dialect
+
+    for ok in [r"[*+]", r"[?+]x", r"a[}+]b", r"x}+", r"[\]+]", r"[^+]*", r"[a-z]+"]:
+        lint_regex_dialect(ok)
+    # ...while real possessive quantifiers are still rejected, including
+    # one quantifying a character class, and a possessive {m,n}+
+    for bad in [r"[a-z]++", r"a{2,3}+", r"[*+]x*+"]:
+        with pytest.raises(ValueError):
+            lint_regex_dialect(bad)
+
+
+def test_compare_single_arg_resource_not_converted(spark):
+    # the reference converts args to Comparable only per adjacent PAIR —
+    # a 1-arg comparison has no pairs, so (lt ?x) with ?x carrying an
+    # unparsable decimal facet is Ok(true), not an error
+    # (src/expression/mod.rs:284-299)
+    from inferdf_rs_spark.rules import call, stmt_true
+    from inferdf_rs_spark.schemas import XSD
+
+    bad = Term.literal("abc", XSD + "int")
+    ds = build_dataset(spark, [(blank("0"), iri(EX + "p"), bad)])
+    r = rule(
+        variables=2,
+        hypothesis=[pat("+", v(0), iri(EX + "p"), v(1))],
+        statements=[stmt_true("+", call("lt", v(1)))],
+    )
+    assert System(spark, [r]).validate(ds).is_valid()  # must NOT raise
+
+
 def test_malformed_decimal_literal_rejected_at_load():
     from inferdf_rs_spark.rules import call, dec, stmt_true
 

@@ -178,3 +178,34 @@ def test_pipeline_golden_pr(spark, tmp_path):
     ent = ds.triples.filter(F.col("cause_kind") == 1)
     assert ent.filter(F.col("rule_id").isNull()).count() == 0
     assert ent.agg(F.min("round")).collect()[0][0] >= 1
+
+
+def test_materialized_graph_p_bound_scan_prunes_partitions(spark, tmp_path):
+    """SURVEY §2 S2: the predicate-bucket layout must actually prune —
+    a p-bound pattern over a read_graph dataset carries a p_bucket
+    partition filter into the parquet scan (1/n_buckets of the
+    directories), the Spark analogue of the reference's canonical-
+    pattern index (src/pattern/map.rs:13-25)."""
+    from inferdf_rs_spark import build_dataset, blank, iri, pat, v
+    from inferdf_rs_spark.operators.match import scan_pattern
+    from inferdf_rs_spark.pipelines.webkg import read_graph, write_graph
+    from inferdf_rs_spark.terms import encode_terms
+
+    EX = "https://example.org/#"
+    ds = build_dataset(
+        spark,
+        [(blank(f"a{i}"), iri(EX + ("knows" if i % 2 else "likes")), blank(f"b{i}")) for i in range(8)],
+    )
+    out = str(tmp_path / "graph")
+    write_graph(ds.triples, ds.terms, out)
+    rg = read_graph(spark, out)
+    assert getattr(rg.triples, "_inferdf_p_buckets", None) == 16
+
+    knows = iri(EX + "knows")
+    cids = encode_terms(spark, [knows])
+    df = scan_pattern(rg.triples, pat("+", v(0), knows, v(1)), cids)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    want = f"p_bucket#"  # a real partition filter, not a post-scan filter
+    pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf_lines and want in pf_lines[0] and "p_bucket" in pf_lines[0].split("PartitionFilters")[1]
+    assert df.count() == 4  # and the scan still returns the right rows
