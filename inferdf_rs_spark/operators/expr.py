@@ -85,6 +85,14 @@ def _nulls():
     )
 
 
+def _first_err(errs: list[Column]) -> Column:
+    """First-error-wins fold over error columns (arg-order precedence)."""
+    out = F.lit(ERR_NONE)
+    for e in errs:
+        out = F.when(out != ERR_NONE, out).otherwise(e)
+    return out
+
+
 def decimal_lexical(d: Column) -> Column:
     """Canonical lexical form of a decimal (no trailing zeros / dot)."""
     s = d.cast("string")
@@ -257,18 +265,32 @@ class ExprCompiler:
         args = [self.compile(a) for a in c.args]
         base = _nulls()
         if c.fn in ("or", "and"):
-            # short-circuit fold (src/expression/mod.rs:266-283)
+            # Short-circuit fold (src/expression/mod.rs:266-283) with the
+            # reference's two-phase error discipline: args are fully
+            # EVALUATED before the call dispatches (mod.rs:71-77 — the
+            # `?` propagates any nested call's error unconditionally, in
+            # arg order), while require_boolean COERCION errors — wrong
+            # value space, resource facet parse — arise inside the call
+            # loop and ARE masked by an earlier decisive argument.
+            eval_err = _first_err(
+                [a.err for a, node in zip(args, c.args) if isinstance(node, Call)]
+            )
             decisive_val = c.fn == "or"  # Or stops at true, And at false
             state_done = F.lit(False)  # decided early
             state_err = F.lit(ERR_NONE)
-            for a in args:
+            for a, node in zip(args, c.args):
                 bv, be = self._require_boolean(a)
+                if isinstance(node, Call):
+                    # its eval error is already counted (unmaskable);
+                    # only the coercion part stays maskable here
+                    be = F.when(a.err != ERR_NONE, F.lit(ERR_NONE)).otherwise(be)
                 new_err = F.when(state_done | (state_err != ERR_NONE), state_err).otherwise(be)
                 hit = (~state_done) & (state_err == ERR_NONE) & (new_err == ERR_NONE) & (
                     F.coalesce(bv, F.lit(False)) == F.lit(decisive_val)
                 )
                 state_done = state_done | hit
                 state_err = new_err
+            state_err = F.when(eval_err != ERR_NONE, eval_err).otherwise(state_err)
             result = state_done if decisive_val else ~state_done
             # an error voids the result entirely
             base["b"] = F.when(state_err == ERR_NONE, result)
@@ -284,19 +306,21 @@ class ExprCompiler:
             #    evaluated to Values before ``call`` runs) propagate
             #    unconditionally, first-in-arg-order wins;
             # 2. Comparable *conversion* errors (resource facet parse /
-            #    ambiguity, ``Comparable::from_value``) are lazy — arg k
-            #    is only converted if every earlier adjacent pair
-            #    compared true, so ``(lt 3 2 <ambiguous>)`` is Ok(false),
-            #    not an error.  With fewer than 2 args NO conversion ever
-            #    runs (the reference's pair loop is empty), so a lone
-            #    unparsable-resource arg is Ok(true), not an error.
+            #    ambiguity, ``Comparable::from_value``) follow the
+            #    reference loop shape exactly (mod.rs:284-299): every
+            #    arg the loop REACHES is converted — arg k is reached
+            #    iff all pairs before it compared true — and the `?`
+            #    propagates its error.  So ``(lt 3 2 <ambiguous>)`` is
+            #    Ok(false) (loop stops at the false pair), while
+            #    ``(lt <ambiguous>)`` and ``(lt 2 <ambiguous>)`` are
+            #    errors (those args are reached before any false pair).
             err = F.lit(ERR_NONE)
             for a in args:
                 if not a.is_resource:
                     err = F.when(err != ERR_NONE, err).otherwise(a.err)
             state_false = F.lit(False)  # some earlier pair compared false
             for k, a in enumerate(args):
-                if a.is_resource and len(args) >= 2:
+                if a.is_resource:
                     err = F.when(err != ERR_NONE, err).otherwise(
                         F.when(~state_false, a.err).otherwise(F.lit(ERR_NONE))
                     )

@@ -350,22 +350,43 @@ def test_regex_dialect_lint_character_classes():
             lint_regex_dialect(bad)
 
 
-def test_compare_single_arg_resource_not_converted(spark):
-    # the reference converts args to Comparable only per adjacent PAIR —
-    # a 1-arg comparison has no pairs, so (lt ?x) with ?x carrying an
-    # unparsable decimal facet is Ok(true), not an error
-    # (src/expression/mod.rs:284-299)
-    from inferdf_rs_spark.rules import call, stmt_true
+def test_compare_single_arg_conversion_and_or_eval_error_discipline(spark):
+    # Verified against the reference source, NOT the intuition that
+    # 1-arg compares skip conversion: mod.rs:284-299 converts every arg
+    # the loop REACHES (the `?` on Comparable::from_value), and a 1-arg
+    # loop reaches its only arg — so (lt ?x) with an unparsable decimal
+    # facet IS an error.  (gte ?x) on a PARSEABLE facet is Ok(true).
+    from inferdf_rs_spark.rules import call, dec, stmt_true
     from inferdf_rs_spark.schemas import XSD
 
     bad = Term.literal("abc", XSD + "int")
+    good = Term.literal("7", XSD + "int")
     ds = build_dataset(spark, [(blank("0"), iri(EX + "p"), bad)])
-    r = rule(
+    ds_good = build_dataset(spark, [(blank("0"), iri(EX + "p"), good)])
+    mk = lambda *args: System(  # noqa: E731
+        spark,
+        [
+            rule(
+                variables=2,
+                hypothesis=[pat("+", v(0), iri(EX + "p"), v(1))],
+                statements=[stmt_true("+", call("lt", *args))],
+            )
+        ],
+    )
+    with pytest.raises(ExpressionError):
+        mk(v(1)).validate(ds)
+    assert mk(v(1)).validate(ds_good).is_valid()
+
+    # ...and mod.rs:71-77 evaluates ALL args before Or/And dispatches:
+    # a nested call's error is NOT masked by an earlier decisive true,
+    # while a bare resource's coercion error (inside require_boolean) is.
+    r_nested = rule(
         variables=2,
         hypothesis=[pat("+", v(0), iri(EX + "p"), v(1))],
-        statements=[stmt_true("+", call("lt", v(1)))],
+        statements=[stmt_true("+", call("or", call("eq", dec(1), dec(1)), call("lt", dec(1), v(1))))],
     )
-    assert System(spark, [r]).validate(ds).is_valid()  # must NOT raise
+    with pytest.raises(ExpressionError):
+        System(spark, [r_nested]).validate(ds)
 
 
 def test_malformed_decimal_literal_rejected_at_load():

@@ -209,3 +209,38 @@ def test_materialized_graph_p_bound_scan_prunes_partitions(spark, tmp_path):
     pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf_lines and want in pf_lines[0] and "p_bucket" in pf_lines[0].split("PartitionFilters")[1]
     assert df.count() == 4  # and the scan still returns the right rows
+
+
+def test_pipeline_kill_resume_same_signature(spark, tmp_path):
+    """North-rule resumability at PIPELINE level (the operator-level
+    probe is test_fixpoint_checkpoint_resume): a run killed mid-fixpoint
+    (round cap exhausted after round 1, meta says done=False) must
+    resume from its checkpoint and produce a graph with the identical
+    canonical signature as an uninterrupted run."""
+    import pytest as _pytest
+
+    from inferdf_rs_spark.extraction import synth
+    from inferdf_rs_spark.operators.canon import graph_signature
+    from inferdf_rs_spark.operators.fixpoint import read_meta
+    from inferdf_rs_spark.pipelines import webkg
+
+    pages = synth.synth_pages(spark, 120).localCheckpoint(eager=True)
+    ck = str(tmp_path / "ck")
+
+    # the "kill": the loop writes round 1's delta + meta, then dies at
+    # the round cap (a real SIGKILL between rounds leaves the same state
+    # because the meta write is atomic os.replace)
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        webkg.run_pipeline(spark, pages, checkpoint_dir=ck, max_rounds=1, skip_fidelity=True)
+    meta = read_meta(ck)
+    assert meta["round"] == 1 and not meta["done"]
+
+    resumed = webkg.run_pipeline(spark, pages, checkpoint_dir=ck, skip_fidelity=True)
+    assert read_meta(ck)["done"]
+    fresh = webkg.run_pipeline(spark, pages, skip_fidelity=True)
+
+    assert resumed.n_total == fresh.n_total
+    assert resumed.result.rounds >= 2  # it really did continue past round 1
+    sig_resumed = graph_signature(resumed.result.store, resumed.result.terms)
+    sig_fresh = graph_signature(fresh.result.store, fresh.result.terms)
+    assert sig_resumed == sig_fresh
