@@ -194,25 +194,35 @@ class ExprCompiler:
     # -- require_* coercions (src/expression/value/mod.rs:38-170) ----------
 
     def _require_boolean(self, a: CV) -> tuple[Column, Column]:
-        ok = a.vtype == VT_BOOL
-        val = F.when(ok, a.b)
-        err = F.when(a.err != ERR_NONE, a.err).when(~ok, F.lit(ERR_UNEXPECTED)).otherwise(F.lit(ERR_NONE))
-        return val, err
+        # Boolean::from_resource (value/literal.rs:32-64) SKIPS facets of
+        # other datatypes entirely — a resource whose only facet is an
+        # (even unparsable) decimal is Unexpected, not InvalidLiteral; a
+        # facet error propagates only when the facet IS boolean-typed.
+        # Non-resource values (nested calls) keep their evaluation error
+        # unconditionally — it predates the coercion.
+        return self._require_space(a, VT_BOOL, a.b)
 
     def _require_regex(self, a: CV) -> tuple[Column, Column]:
-        ok = a.vtype == VT_REGEX
-        val = F.when(ok, a.r)
-        err = F.when(a.err != ERR_NONE, a.err).when(~ok, F.lit(ERR_UNEXPECTED)).otherwise(F.lit(ERR_NONE))
-        return val, err
+        # same facet-space discipline as _require_boolean
+        return self._require_space(a, VT_REGEX, a.r)
+
+    @staticmethod
+    def _require_space(a: CV, vt: int, payload: Column) -> tuple[Column, Column]:
+        ok = a.vtype == vt
+        err_gate = (ok & (a.err != ERR_NONE)) if a.is_resource else (a.err != ERR_NONE)
+        err = F.when(err_gate, a.err).when(~ok, F.lit(ERR_UNEXPECTED)).otherwise(F.lit(ERR_NONE))
+        return F.when(ok, payload), err
 
     def _require_any_literal(self, a: CV) -> tuple[Column, Column]:
         if a.is_resource:
-            # raw lexical of the resource's literal(s); distinct lexicals ⇒
-            # AmbiguousLiteral, none ⇒ Unexpected (value/mod.rs:98-119)
+            # Raw lexical of the resource's literal(s); distinct lexicals
+            # ⇒ AmbiguousLiteral, none ⇒ Unexpected (value/mod.rs:83-126).
+            # The reference never PARSES here, so typed-facet errors
+            # (invalid decimal, Comparable ambiguity) do NOT propagate —
+            # only raw-lexical ambiguity (the lex_ambig column) does.
             val = a.lex
             err = (
-                F.when(a.err != ERR_NONE, a.err)
-                .when(a.lex_ambig, F.lit(2))
+                F.when(a.lex_ambig, F.lit(2))
                 .when(a.lex.isNull(), F.lit(ERR_UNEXPECTED))
                 .otherwise(F.lit(ERR_NONE))
             )

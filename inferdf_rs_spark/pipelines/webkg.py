@@ -250,37 +250,60 @@ def write_graph(
     out_dir: str,
     n_buckets: int = 16,
     metrics=None,
-    writers_per_bucket: int = 1,
+    target_writers: int | None = None,
 ) -> None:
     """Materialize: triples partitioned by predicate bucket (p-bound
     pattern scans prune partitions — the Spark analogue of the
     reference's canonical-pattern index), terms dimension, metrics.
 
-    The rows are repartitioned onto exactly
-    ``n_buckets × writers_per_bucket`` writer tasks, co-located by
-    bucket, BEFORE ``partitionBy``: without this every post-AQE task
-    holds rows of every bucket and writes one file into every bucket
-    directory — tasks × buckets small files whose commit/rename storm
-    *grows with task count* (measured anti-scaling: 13.7s at 32 cores vs
-    7.5s at 8 on the same data; one-writer-per-bucket makes the write a
-    flat parallel fan-out again).  At cluster scale raise
-    ``writers_per_bucket`` so each writer still holds ≲ one task's worth
-    of rows: file count stays bounded at buckets × writers while write
-    parallelism scales with the cluster.
+    Writer layout (A/B-measured on a 57.7M-row store): rows are salted
+    onto ~``target_writers`` BALANCED writer tasks, each bucket getting
+    writers proportional to its row count from a cheap histogram pass.
+    This fixes both failure modes at once: writing straight from the
+    task partitioning emits tasks × buckets files whose commit/rename
+    fan-out grows with the task count (the cluster-scale hazard), while
+    a naive one-writer-per-bucket repartition serializes the write
+    behind the fattest predicate — real predicate distributions are
+    heavily skewed (rdf:type / mentions hubs), so a single bucket can
+    carry most of the table (measured 57s vs 12s).  File count stays
+    ≈ target_writers, independent of BOTH data size and task count.
+    The FileOutputCommitter v2 algorithm (task-side file promotion,
+    O(1) job commit) is enabled around the write — v1's sequential job
+    commit is a second fan-out that grows with file count.
 
-    Iceberg would add snapshot isolation on a real cluster; the jars are
-    not in this container, so plain parquet with identical layout."""
+    Iceberg would add snapshot isolation on a real cluster; the jars
+    are not in this container, so plain parquet with identical layout."""
+    spark = triples.sparkSession
+    if target_writers is None:
+        target_writers = 2 * spark.sparkContext.defaultParallelism
     out = triples.withColumn("p_bucket", F.pmod(F.col("p"), F.lit(n_buckets)).cast("int"))
-    if writers_per_bucket > 1:
+    # histogram → proportional salt modulus per bucket (≤ n_buckets rows)
+    hist = out.groupBy("p_bucket").count().collect()
+    total = sum(r["count"] for r in hist)
+    if total:
+        salts = {r["p_bucket"]: max(1, round(target_writers * r["count"] / total)) for r in hist}
+        pairs: list = []
+        for k, nsalt in salts.items():
+            pairs += [F.lit(k), F.lit(nsalt)]
+        mod = F.element_at(F.create_map(*pairs), F.col("p_bucket"))
+        # 2x partitions over the distinct (bucket, salt) combos keeps
+        # hash-collision double-ups rare; empty partitions are free
         out = out.repartition(
-            n_buckets * writers_per_bucket,
-            "p_bucket",
-            F.pmod(F.xxhash64("s", "o"), F.lit(writers_per_bucket)),
+            2 * sum(salts.values()), "p_bucket", F.pmod(F.xxhash64("s", "o"), mod)
         )
-    else:
-        out = out.repartition(n_buckets, "p_bucket")
-    out.write.mode("overwrite").partitionBy("p_bucket").parquet(os.path.join(out_dir, "triples"))
-    terms.write.mode("overwrite").parquet(os.path.join(out_dir, "terms"))
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    prev_committer = hconf.get("mapreduce.fileoutputcommitter.algorithm.version")
+    hconf.set("mapreduce.fileoutputcommitter.algorithm.version", "2")
+    try:
+        out.write.mode("overwrite").partitionBy("p_bucket").parquet(
+            os.path.join(out_dir, "triples")
+        )
+        terms.write.mode("overwrite").parquet(os.path.join(out_dir, "terms"))
+    finally:
+        if prev_committer is None:
+            hconf.unset("mapreduce.fileoutputcommitter.algorithm.version")
+        else:
+            hconf.set("mapreduce.fileoutputcommitter.algorithm.version", prev_committer)
     with open(os.path.join(out_dir, "graph_meta.json"), "w") as f:
         json.dump({"n_p_buckets": n_buckets}, f)
     if metrics is not None:

@@ -43,10 +43,11 @@ CMP_LEAVES = [
     T_DEC_5, T_DEC_2, T_DEC_BAD, T_STR_A, T_STR_AB,
     T_BOOL_T, T_BOOL_F, T_IRI_1, T_IRI_2,
 ]
-# or/and args: booleans + an Unexpected-producing string (no bad-decimal
-# resources: require_boolean's facet-parse order there is a corner the
-# handpicked tests own)
-BOOL_LEAVES = [T_BOOL_T, T_BOOL_F, s_("a")]
+# or/and args: booleans, an Unexpected-producing string, and resources
+# whose facets are NOT boolean (require_boolean skips those facet
+# spaces entirely → Unexpected, value/literal.rs:32-64 — even when the
+# non-boolean facet itself is unparsable)
+BOOL_LEAVES = [T_BOOL_T, T_BOOL_F, s_("a"), T_DEC_5, T_DEC_BAD, T_IRI_1]
 CMP_OPS = ["eq", "ne", "lt", "leq", "gt", "geq"]
 
 
@@ -122,10 +123,18 @@ def ref_eval(e):
         decisive = e.fn == "or"
         for v in vals:
             if v[0] == "res":
-                c = _conv(v[1])
-                if c[0] == "err":
-                    return c
-                v = c[1]
+                # Boolean::from_resource: ONLY boolean-datatype facets
+                # are even looked at; others (valid or not) ⇒ Unexpected
+                t = v[1]
+                if t.kind == 2 and (t.datatype or "") == XSD + "boolean":
+                    if t.lexical in ("true", "1"):
+                        v = ("bool", True)
+                    elif t.lexical in ("false", "0"):
+                        v = ("bool", False)
+                    else:
+                        return ("err", ERR_INV)
+                else:
+                    return ("err", ERR_UNEXP)
             if v[0] != "bool":
                 return ("err", ERR_UNEXP)
             if v[1] == decisive:

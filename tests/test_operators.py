@@ -389,6 +389,23 @@ def test_compare_single_arg_conversion_and_or_eval_error_discipline(spark):
         System(spark, [r_nested]).validate(ds)
 
 
+def test_require_any_literal_ignores_facet_parse_errors(spark):
+    # require_any_literal returns the RAW lexical without parsing
+    # (value/mod.rs:83-126) — a resource whose decimal facet is
+    # unparsable still matches a regex over its lexical form, no error
+    from inferdf_rs_spark.rules import call, regex, stmt_true
+    from inferdf_rs_spark.schemas import XSD
+
+    bad = Term.literal("abc", XSD + "int")
+    ds = build_dataset(spark, [(blank("0"), iri(EX + "p"), bad)])
+    r = rule(
+        variables=2,
+        hypothesis=[pat("+", v(0), iri(EX + "p"), v(1))],
+        statements=[stmt_true("+", call("matches", regex("^abc$"), v(1)))],
+    )
+    assert System(spark, [r]).validate(ds).is_valid()
+
+
 def test_malformed_decimal_literal_rejected_at_load():
     from inferdf_rs_spark.rules import call, dec, stmt_true
 
