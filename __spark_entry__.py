@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_consecutive": Q.q_cosine_consecutive,
         "ann_topk": Q.q_ann_topk,
         "ann_lsh": Q.q_ann_lsh,  # deterministic integer LSH — fully oracled
+        "embed_near_dup": Q.q_embed_near_dup,  # embedding-cosine dedup
         # multimodal plumbing (deterministic stub decode — oracled)
         "multimodal_features": Q.q_multimodal_features,
         "multimodal_frames": Q.q_multimodal_frames,
@@ -275,6 +276,17 @@ def oracle_sql() -> dict[str, str]:
         "PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored) "
         "SELECT query_id, neighbor_id, rank, floor(cos * 1000000)::BIGINT AS cosine_micro "
         "FROM r WHERE rank <= 10",
+        "embed_near_dup": f"WITH {_LSH_PLANES}, {_LSH_CODES}, "
+        "cands AS (SELECT DISTINCT c1.vec_id AS id_a, c2.vec_id AS id_b "
+        "FROM codes c1 JOIN codes c2 ON c1.t = c2.t AND c1.code = c2.code "
+        "AND c1.vec_id < c2.vec_id), "
+        "ver AS (SELECT id_a, id_b, "
+        + _cos("qa.embedding", "qb.embedding")
+        + " AS cos FROM cands "
+        "JOIN embeddings qa ON qa.vec_id = id_a "
+        "JOIN embeddings qb ON qb.vec_id = id_b) "
+        "SELECT id_a, id_b, floor(cos * 1000000)::BIGINT AS cosine_micro "
+        "FROM ver WHERE cos >= 0.4",
         "ann_lsh": f"WITH {_LSH_PLANES}, {_LSH_CODES}, "
         "qc AS (SELECT vec_id AS query_id, t, code FROM codes WHERE vec_id IN (0,1,2,3,4)), "
         "cands AS (SELECT DISTINCT qc.query_id, c.vec_id AS neighbor_id "

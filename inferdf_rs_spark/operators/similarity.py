@@ -133,6 +133,93 @@ def auto_n_planes(n_vectors: int, target_occupancy: int = 64, lo: int = 4, hi: i
     return max(lo, min(hi, math.ceil(math.log2(n_vectors / target_occupancy))))
 
 
+def sign_codes(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-table LSH sign codes: (id, vec, tbl, code) — one row per
+    (vector, table).
+
+    All table codes in ONE vectorized Arrow batch: a (batch × dim) @
+    (dim × tables·planes) matmul then sign-pack, in EXACT int64
+    arithmetic (quantized embeddings × integer planes — summation order
+    can't flip a sign, unlike float — see ``_hyperplanes``).  The
+    pure-Column alternative (n_tables × n_planes literal arrays folded
+    per row) builds a ~4096-literal expression tree that chokes codegen
+    — measured 7s vs <2s at 500×64-d.  Map-only either way."""
+    mat = np.array(
+        [p for t in range(n_tables) for p in _hyperplanes(dim, n_planes, t)], dtype="int64"
+    ).T  # (dim, n_tables*n_planes)
+    weights = (2 ** np.arange(n_planes)).astype("int64")
+
+    @F.pandas_udf("array<long>")
+    def codes_udf(vs: pd.Series) -> pd.Series:
+        m = np.stack(vs.to_numpy()).astype("float64")  # (batch, dim)
+        mq = np.floor(m * QUANT_SCALE).astype("int64")
+        signs = (mq @ mat) > 0  # exact int64 dot, (batch, tables*planes)
+        c = (signs.reshape(len(m), n_tables, n_planes) * weights).sum(axis=2)
+        return pd.Series(list(c))
+
+    return embeddings.select(
+        F.col(id_col), F.col(vec_col), F.posexplode(codes_udf(F.col(vec_col))).alias("tbl", "code")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int | None = 8,
+    n_tables: int = 8,
+    dim: int | None = None,
+    n_vectors: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates from sign-LSH
+    bucket collisions (any table), verified by exact cosine ≥ threshold.
+    Output (id_a, id_b, cosine_micro).
+
+    The dedup-family sibling of ``minhash_near_dup_pairs``: the
+    bucket-keyed SELF-join bounds candidate work by bucket occupancy
+    (~n/2^n_planes per table) — the n² cosine matrix never
+    materializes; pass ``n_vectors`` with ``n_planes=None`` to keep
+    occupancy bounded as the corpus grows (``auto_n_planes``).
+    Candidate ids travel narrow through the pair-dedup exchange; the
+    embedding vectors join back only for the verify step.  Like the
+    ANN path this is integer-deterministic end-to-end (bit-exact
+    DuckDB oracle in ``__spark_entry__``); recall vs the brute-force
+    pair set is a property of n_tables/n_planes."""
+    if dim is None:
+        raise ValueError("embedding_near_dup_pairs requires the embedding dimension 'dim'")
+    if n_planes is None:
+        if n_vectors is None:
+            raise ValueError("n_planes=None (auto) requires n_vectors (corpus-size metadata)")
+        n_planes = auto_n_planes(n_vectors)
+
+    codes = sign_codes(embeddings, dim, n_planes, n_tables, id_col, vec_col)
+    a = codes.select(F.col(id_col).alias("id_a"), "tbl", "code")
+    b = codes.select(F.col(id_col).alias("id_b"), "tbl", "code")
+    cands = (
+        a.join(b, on=["tbl", "code"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+    ea = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    eb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cands.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.floor(F.col("cos") * 1e6).cast("long").alias("cosine_micro"))
+    )
+
+
 def lsh_bucket_ann(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -187,29 +274,7 @@ def lsh_bucket_ann(
             raise ValueError("n_planes=None (auto) requires n_vectors (corpus-size metadata)")
         n_planes = auto_n_planes(n_vectors)
 
-    # All table codes in ONE vectorized Arrow batch: a (batch × dim) @
-    # (dim × tables·planes) matmul then sign-pack, in EXACT int64
-    # arithmetic (quantized embeddings × integer planes — summation
-    # order can't flip a sign, unlike float).  The pure-Column
-    # alternative (n_tables × n_planes literal arrays folded per row)
-    # builds a ~4096-literal expression tree that chokes codegen —
-    # measured 7s vs <2s at 500×64-d.  Map-only either way.
-    mat = np.array(
-        [p for t in range(n_tables) for p in _hyperplanes(dim, n_planes, t)], dtype="int64"
-    ).T  # (dim, n_tables*n_planes)
-    weights = (2 ** np.arange(n_planes)).astype("int64")
-
-    @F.pandas_udf("array<long>")
-    def codes_udf(vs: pd.Series) -> pd.Series:
-        m = np.stack(vs.to_numpy()).astype("float64")  # (batch, dim)
-        mq = np.floor(m * QUANT_SCALE).astype("int64")
-        signs = (mq @ mat) > 0  # exact int64 dot, (batch, tables*planes)
-        c = (signs.reshape(len(m), n_tables, n_planes) * weights).sum(axis=2)
-        return pd.Series(list(c))
-
-    with_b = embeddings.select(
-        F.col(id_col), F.col(vec_col), F.posexplode(codes_udf(F.col(vec_col))).alias("tbl", "code")
-    )
+    with_b = sign_codes(embeddings, dim, n_planes, n_tables, id_col, vec_col)
 
     # query side: expand each code to its Hamming-<n_probes ball
     probe_masks = _hamming_ball_masks(n_planes, n_probes)

@@ -314,6 +314,14 @@ def q_ann_lsh(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_embed_near_dup(spark, sf_dir):
+    # embedding-cosine near-dup (dedup family): sign-LSH banded
+    # candidates verified by exact cosine ≥ 0.4
+    return similarity.embedding_near_dup_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.4, dim=64
+    )
+
+
 # ------------------------------------------------------------ multimodal
 
 
