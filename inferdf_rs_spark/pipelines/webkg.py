@@ -320,7 +320,17 @@ def read_graph(spark: SparkSession, out_dir: str) -> Dataset:
     canonical-pattern index, expressed as Hive-style partition pruning).
     The engine drops the extra column at fixpoint entry, so the dataset
     still feeds every API."""
-    triples = spark.read.parquet(os.path.join(out_dir, "triples"))
+    from pyspark.errors import AnalysisException
+
+    from ..schemas import TRIPLES_SCHEMA
+
+    try:
+        triples = spark.read.parquet(os.path.join(out_dir, "triples"))
+    except AnalysisException:
+        # an empty store writes no parquet files (nothing to infer from)
+        triples = spark.createDataFrame([], TRIPLES_SCHEMA).withColumn(
+            "p_bucket", F.lit(None).cast("int")
+        )
     try:
         with open(os.path.join(out_dir, "graph_meta.json")) as f:
             triples._inferdf_p_buckets = json.load(f)["n_p_buckets"]

@@ -244,3 +244,52 @@ def test_pipeline_kill_resume_same_signature(spark, tmp_path):
     sig_resumed = graph_signature(resumed.result.store, resumed.result.terms)
     sig_fresh = graph_signature(fresh.result.store, fresh.result.terms)
     assert sig_resumed == sig_fresh
+
+
+def test_write_graph_skewed_predicates_balanced_writers(spark, tmp_path):
+    """The salted writer layout must spread a dominant predicate bucket
+    over many files (real predicate distributions are heavily skewed —
+    a one-writer-per-bucket layout serializes the write behind the hub
+    predicate), while keeping total file count ~bounded by
+    target_writers (not tasks x buckets)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from inferdf_rs_spark.pipelines.webkg import read_graph, write_graph
+    from inferdf_rs_spark.schemas import TRIPLES_SCHEMA
+
+    # 50k facts, 95% on one hub predicate
+    hub, rare = 7777, 13
+    df = (
+        spark.range(50_000)
+        .select(
+            F.col("id").alias("s"),
+            F.when(F.col("id") % 20 < 19, F.lit(hub)).otherwise(F.lit(rare)).alias("p"),
+            (F.col("id") * 31).alias("o"),
+            F.lit(True).alias("sign"),
+            F.lit(0).alias("cause_kind"),
+            F.lit(None).cast("long").alias("rule_id"),
+            F.lit(None).cast("long").alias("subst_hash"),
+            F.lit(0).alias("round"),
+            F.lit("stated").alias("src_partition"),
+            F.lit(None).cast("long").alias("g"),
+        )
+    )
+    out = str(tmp_path / "g")
+    write_graph(spark.createDataFrame(df.collect(), TRIPLES_SCHEMA), df.limit(0).select("s"), out, target_writers=8)
+    hub_files = glob.glob(f"{out}/triples/p_bucket={hub % 16}/*.parquet")
+    all_files = glob.glob(f"{out}/triples/p_bucket=*/*.parquet")
+    assert len(hub_files) >= 4, f"hub bucket written by {len(hub_files)} writer(s) — skew not spread"
+    assert len(all_files) <= 3 * 8, f"{len(all_files)} files — fan-out not bounded"
+    assert read_graph(spark, out).triples.count() == 50_000
+
+
+def test_write_graph_empty_store(spark, tmp_path):
+    from inferdf_rs_spark.pipelines.webkg import read_graph, write_graph
+    from inferdf_rs_spark.schemas import TRIPLES_SCHEMA
+
+    empty = spark.createDataFrame([], TRIPLES_SCHEMA)
+    out = str(tmp_path / "g0")
+    write_graph(empty, empty.select("s").withColumnRenamed("s", "term_id"), out)
+    assert read_graph(spark, out).triples.count() == 0
