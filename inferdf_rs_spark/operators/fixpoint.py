@@ -362,16 +362,26 @@ def fixpoint(
         c = _deduce_round(spark, scan_store, terms, active, const_ids, delta, rnd, functions)
 
         deduced = c.triples if insert_negatives else c.triples.filter(F.col("sign"))
-        # dedup BEFORE the anti-join: dropDuplicates runs a map-side partial
+        # dedup BEFORE the anti-join: the groupBy runs a map-side partial
         # aggregate that shrinks the conclusions stream before it hits the
         # wire — and only the NARROW_COLS projection rides the exchanges
         # (constants + the src label re-attach after the checkpoint).
-        # Small regime: one broadcast anti-join against the whole store
-        # (map-side, zero exchange).  Large regime: chained anti-joins
-        # against co-partitioned pieces → zero *store-side* exchange per
-        # round (only the conclusions stream shuffles) — the plan that
-        # survives a store too big to broadcast.
-        new = deduced.select(*NARROW_COLS).dropDuplicates(TRIPLE_KEY)
+        # min(struct(lineage)) instead of dropDuplicates: a fact derived
+        # by TWO rules keeps the lexicographically-least (rule_id,
+        # subst_hash) — dropDuplicates would retain an arbitrary one,
+        # making the stored lineage vary across runs/retries against the
+        # engine's determinism guarantees.  Small regime: one broadcast
+        # anti-join against the whole store (map-side, zero exchange).
+        # Large regime: chained anti-joins against co-partitioned pieces
+        # → zero *store-side* exchange per round (only the conclusions
+        # stream shuffles) — the plan that survives a store too big to
+        # broadcast.
+        new = (
+            deduced.select(*NARROW_COLS)
+            .groupBy(*TRIPLE_KEY)
+            .agg(F.min(F.struct("rule_id", "subst_hash")).alias("_lin"))
+            .select(*TRIPLE_KEY, "_lin.*")
+        )
         if large:
             for pc in pieces:
                 new = new.join(pc.select(*TRIPLE_KEY), on=TRIPLE_KEY, how="left_anti")

@@ -580,6 +580,38 @@ def test_fixpoint_checkpoint_resume(spark, tmp_path):
     assert resumed.rounds == full.rounds
 
 
+def test_fixpoint_lineage_deterministic_when_multiply_derived(spark):
+    # two rules derive the SAME fact; the stored lineage must be the
+    # lexicographically-least (rule_id, subst_hash), identical across
+    # runs — dropDuplicates would keep an arbitrary derivation
+    ds = build_dataset(
+        spark,
+        [
+            (blank("a"), iri(EX + "p"), blank("b")),
+            (blank("a"), iri(EX + "r"), blank("b")),
+        ],
+    )
+    mk = lambda pred: rule(  # noqa: E731
+        variables=2,
+        hypothesis=[pat("+", v(0), iri(EX + pred), v(1))],
+        statements=[stmt_triple("+", v(0), iri(EX + "q"), v(1))],
+    )
+    rules = [mk("p"), mk("r")]
+    runs = []
+    for _ in range(2):
+        res = System(spark, rules).fixpoint(ds)
+        runs.append(
+            sorted(
+                (r.s, r.p, r.o, r.sign, r.rule_id, r.subst_hash)
+                for r in res.store.filter("cause_kind = 1").collect()
+            )
+        )
+        res.release()
+    assert runs[0] == runs[1]
+    assert len(runs[0]) == 1  # one stored q-fact despite two derivations
+    assert runs[0][0][4] == min(r.rule_id for r in rules)
+
+
 def test_rule_dedup(spark):
     r = rule(
         variables=2,
