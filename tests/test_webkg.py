@@ -293,3 +293,35 @@ def test_write_graph_empty_store(spark, tmp_path):
     out = str(tmp_path / "g0")
     write_graph(empty, empty.select("s").withColumnRenamed("s", "term_id"), out)
     assert read_graph(spark, out).triples.count() == 0
+
+
+def test_fixpoint_over_materialized_graph(spark, tmp_path):
+    """Write a graph, re-open it, and run FURTHER inference over it —
+    the restart path a real deployment takes between jobs.  The
+    p_bucket partition column read_graph keeps for pruning must not
+    leak into the fixpoint's fact-table contract."""
+    from inferdf_rs_spark import System, blank, build_dataset, iri, pat, rule, stmt_triple, v
+    from inferdf_rs_spark.engine import Dataset
+    from inferdf_rs_spark.pipelines.webkg import read_graph, write_graph
+
+    EX = "https://example.org/#"
+    ds = build_dataset(
+        spark, [(blank(f"n{i}"), iri(EX + "next"), blank(f"n{i+1}")) for i in range(4)]
+    )
+    out = str(tmp_path / "g")
+    write_graph(ds.triples, ds.terms, out)
+    rg = read_graph(spark, out)
+    assert "p_bucket" in rg.triples.columns  # pruning path is active
+
+    tc = rule(
+        variables=3,
+        hypothesis=[
+            pat("+", v(0), iri(EX + "next"), v(1)),
+            pat("+", v(1), iri(EX + "next"), v(2)),
+        ],
+        statements=[stmt_triple("+", v(0), iri(EX + "next"), v(2))],
+    )
+    res = System(spark, [tc]).fixpoint(Dataset(rg.triples, rg.terms))
+    assert res.store.count() == 4 * 5 // 2  # closure of the 5-node chain
+    assert "p_bucket" not in res.store.columns
+    res.release()
