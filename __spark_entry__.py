@@ -15,6 +15,18 @@ Being *approximate* (vs exact top-k) is a property of the algorithm,
 not of its reproducibility; the recall-vs-exact harness in
 tests/test_extensions.py separately guards the semantic quality
 (recall ≥ 0.9 @ k=10 against ann_topk).
+
+Float-boundary caveat (ADVICE r3): for the LSH/cosine family
+(``ann_lsh``, ``ann_topk``, ``embed_near_dup``, ``cosine_consecutive``)
+the *bucketing/candidate* stage is integer-exact, but the final cosine,
+its ``floor(cos*1e6)`` micro-quantization, and rank tie-breaks rely on
+Spark's codegen'd aggregate fold and DuckDB's ``list_aggregate('sum')``
+both folding left-to-right in IEEE double — which they do today (pinned
+by the hash matches at sf0.01 since r2/r3).  A last-ulp divergence at a
+floor or rank boundary in some future engine version would flake the
+value-hash even though the engine is correct; if that ever happens,
+compare ``cosine_micro`` with ±1 tolerance and rank via the cosine
+ordering rather than strict equality — do not "fix" the engine.
 """
 
 from __future__ import annotations

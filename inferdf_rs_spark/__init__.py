@@ -29,7 +29,7 @@ from .rules import (
     v,
 )
 from .session import get_spark
-from .terms import Term, encode_terms, resource_facets, terms_df
+from .terms import Term, encode_terms, id_bits, resource_facets, set_id_bits, terms_df
 
 __all__ = [
     "Dataset",
@@ -39,6 +39,8 @@ __all__ = [
     "Term",
     "get_spark",
     "encode_terms",
+    "id_bits",
+    "set_id_bits",
     "resource_facets",
     "terms_df",
     "rule",

@@ -19,16 +19,24 @@ from .operators.fixpoint import FixpointResult, fixpoint
 from .operators.match import find_substitutions
 from .operators.validate import ValidationResult, validate
 from .rules import Rule, load_rules, rule_to_json
-from .schemas import CAUSE_STATED, TRIPLES_SCHEMA
-from .terms import Term, encode_terms, resource_facets, terms_df
+from .schemas import CAUSE_STATED
+from .terms import Term, encode_terms, resource_facets, terms_df, triples_schema
 
 
 @dataclass
 class Dataset:
-    """A signed fact store + its interpretation dictionary."""
+    """A signed fact store + its interpretation dictionary.
+
+    ``p_buckets``: predicate-bucket count of a materialized graph opened
+    via ``pipelines.webkg.read_graph`` (None otherwise).  Carried here —
+    not as an ad-hoc attribute on the DataFrame — so partition pruning
+    survives composition: any ``.filter()``/``.select()`` over
+    ``triples`` returns a fresh DataFrame, and a monkey-patched attribute
+    would silently vanish with it."""
 
     triples: DataFrame
     terms: DataFrame
+    p_buckets: int | None = None
 
 
 def build_dataset(spark: SparkSession, facts: list) -> Dataset:
@@ -54,7 +62,7 @@ def build_dataset(spark: SparkSession, facts: list) -> Dataset:
         )
         for s, p, o, sign, g in norm
     ]
-    trips = spark.createDataFrame(rows, TRIPLES_SCHEMA)
+    trips = spark.createDataFrame(rows, triples_schema())
     return Dataset(trips, tdf)
 
 
@@ -113,7 +121,7 @@ class System:
         cids = self.const_ids()
         batches = []
         for idx, rule in enumerate(self.rules):
-            subst = find_substitutions(ds.triples, rule, cids, delta=delta)
+            subst = find_substitutions(ds.triples, rule, cids, delta=delta, p_buckets=ds.p_buckets)
             batches.append(
                 conclude(
                     subst, rule, idx, cids, facets, round_num, self.functions,
@@ -132,4 +140,12 @@ class System:
     # ------------------------------------------------------------ entry 3
     def validate(self, ds: Dataset) -> ValidationResult:
         """System::validate (src/system/mod.rs:188-265): all violations."""
-        return validate(self.spark, ds.triples, ds.terms, self.rules, self.const_ids(), self.functions)
+        return validate(
+            self.spark,
+            ds.triples,
+            ds.terms,
+            self.rules,
+            self.const_ids(),
+            self.functions,
+            p_buckets=ds.p_buckets,
+        )

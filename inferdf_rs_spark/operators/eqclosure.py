@@ -112,6 +112,10 @@ def eq_closure_with_rounds(
             "(rounds needed ≈ log2 of the longest sameAs chain)"
         )
         if strict:
+            # no-leak on the error path: a long-running caller catching
+            # this per batch must not retain the edge list + final label
+            # generation in the storage pool for every failure
+            tracker.release()
             raise RuntimeError(msg)
         warnings.warn(msg)
     tracker.release(edge_ids)  # the mapping reads only the final labels

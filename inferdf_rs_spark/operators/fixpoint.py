@@ -330,6 +330,11 @@ def fixpoint(
         tracker.ids -= base_ids
     else:
         pieces, piece_idsets = [base], [base_ids]
+    # True while the Dataset-level persist of the input store is live:
+    # it must be released via base.unpersist() (drops the CacheManager
+    # entry too) — release-by-RDD-id alone leaves a storage-level-NONE
+    # InMemoryRelation that later scans matching the plan recompute through
+    base_live = not large
     terms = _ckpt(terms)
     if delta is not None:
         delta = _ckpt(delta)
@@ -423,8 +428,15 @@ def fixpoint(
         if check_errors:
             bad = staged.filter(F.col("err") > 0).limit(1).collect()
             if bad:
+                # error path: release every cache/checkpoint this run
+                # created — a long-running caller that catches
+                # ExpressionError per batch (streaming) must not leak one
+                # store copy per failure
                 if large:
                     staged.unpersist()
+                tracker.release()
+                if base_live:
+                    base.unpersist()
                 raise ExpressionError(
                     f"expression error in round {rnd}: err={bad[0].err} "
                     f"rule_id={bad[0].rule_id} subst_hash={bad[0].subst_hash}"
@@ -440,9 +452,6 @@ def fixpoint(
             new_ids = staged_ids
         n_new = new.count()
         last_new = n_new
-        if carry_release:
-            tracker.release(carry_release)  # last round's delta, now drained
-            carry_release = set()
         new_full = _attach_lineage(new, rnd)
         if debug_timing:
             sys.stderr.write(
@@ -471,6 +480,18 @@ def fixpoint(
         if any_trues:
             round_trues = _ckpt(round_trues)
             trues = trues.unionByName(round_trues).dropDuplicates()
+
+        # the prior round's delta blocks (kept alive across the compaction
+        # that superseded their piece) are released only NOW: the
+        # new_terms/eqs/trues checkpoints above lazily recompute this
+        # round's deduction, which still reads that delta — its lineage is
+        # truncated (localCheckpoint), so dropping the blocks before every
+        # consumer has materialized fails with CHECKPOINT_RDD_BLOCK_ID_NOT_
+        # FOUND for any minting/Eq/True rule system (regression:
+        # test_fixpoint_minting_eq_rules_survive_piece_compaction)
+        if carry_release:
+            tracker.release(carry_release)
+            carry_release = set()
 
         metrics.append({"round": rnd, "new_facts": n_new, "rules_run": [i for i, _ in active]})
         done = n_new == 0
@@ -510,6 +531,12 @@ def fixpoint(
             merged, merged_ids = _piece(store_union(), big=True)
             for ids in piece_idsets[:-1]:
                 tracker.release(ids - new_ids)
+            if base_live:
+                # small→large transition: mirror the large-at-start path —
+                # the Dataset-level persist needs df.unpersist() so the
+                # CacheManager entry for the input-store plan goes too
+                base.unpersist()
+                base_live = False
             carry_release = set(new_ids)  # delta reads these one more round
             pieces, piece_idsets = [merged], [merged_ids]
         if any_mints:
@@ -519,32 +546,39 @@ def fixpoint(
         delta = new
 
     if not done and not allow_partial:
+        tracker.release()  # same no-leak discipline as the error path
+        if base_live:
+            base.unpersist()
         raise RuntimeError(
             f"fixpoint did not converge within max_rounds={max_rounds} "
             f"(last delta={last_new} facts) — the closure is incomplete; "
             "raise max_rounds or pass allow_partial=True"
         )
     return FixpointResult(
-        store_union(), terms, eqs, trues, rnd, metrics, tracker.ids, [base] if not large else []
+        store_union(), terms, eqs, trues, rnd, metrics, tracker.ids, [base] if base_live else []
     )
 
 
 def load_checkpoint(spark: SparkSession, checkpoint_dir: str):
-    """Rebuild fixpoint state from a checkpoint dir (resume path)."""
+    """Rebuild fixpoint state from a checkpoint dir (resume path).
+    Schemas follow the active id width (``terms.set_id_bits``) — a
+    checkpoint must be resumed at the width it was written with."""
+    from ..terms import terms_schema, triples_schema
+
     meta = read_meta(checkpoint_dir)
     if meta is None:
         raise FileNotFoundError(f"no checkpoint at {checkpoint_dir}")
-    store = spark.read.schema(TRIPLES_SCHEMA).parquet(os.path.join(checkpoint_dir, "base"))
-    terms = spark.read.schema(TERMS_SCHEMA).parquet(os.path.join(checkpoint_dir, "terms_base"))
+    store = spark.read.schema(triples_schema()).parquet(os.path.join(checkpoint_dir, "base"))
+    terms = spark.read.schema(terms_schema()).parquet(os.path.join(checkpoint_dir, "terms_base"))
     eqs = spark.createDataFrame([], EQS_SCHEMA)
     trues = spark.createDataFrame([], TRUES_SCHEMA)
     delta = None
     for k in range(1, meta["round"] + 1):
-        d = spark.read.schema(TRIPLES_SCHEMA).parquet(os.path.join(checkpoint_dir, f"delta/round={k}"))
+        d = spark.read.schema(triples_schema()).parquet(os.path.join(checkpoint_dir, f"delta/round={k}"))
         store = store.unionByName(d)
         tdir = os.path.join(checkpoint_dir, f"new_terms/round={k}")
         if os.path.isdir(tdir):
-            terms = terms.unionByName(spark.read.schema(TERMS_SCHEMA).parquet(tdir))
+            terms = terms.unionByName(spark.read.schema(terms_schema()).parquet(tdir))
         edir = os.path.join(checkpoint_dir, f"eqs/round={k}")
         if os.path.isdir(edir):
             eqs = eqs.unionByName(spark.read.parquet(edir))

@@ -22,7 +22,12 @@ from ..terms import Term
 ConstIds = dict  # Term -> int64 id
 
 
-def scan_pattern(triples: DataFrame, pattern: SignedPattern, const_ids: ConstIds) -> DataFrame:
+def scan_pattern(
+    triples: DataFrame,
+    pattern: SignedPattern,
+    const_ids: ConstIds,
+    p_buckets: int | None = None,
+) -> DataFrame:
     """Match one signed pattern; returns the variable bindings it induces.
 
     - constant position ⇒ pushed-down equality predicate
@@ -32,16 +37,22 @@ def scan_pattern(triples: DataFrame, pattern: SignedPattern, const_ids: ConstIds
     - pattern sign selects the store sign partition; on a store with no
       negative rows a negative pattern matches nothing — the closed-world
       blanket impl of src/dataset.rs:46-60.
-    - a store opened via ``pipelines.webkg.read_graph`` carries its
-      predicate-bucket count (``_inferdf_p_buckets`` attribute); a
+    - ``p_buckets``: predicate-bucket count of a materialized graph
+      (``Dataset.p_buckets`` from ``pipelines.webkg.read_graph``); a
       constant-``p`` pattern then also filters on the ``p_bucket``
       partition column, so the parquet scan prunes to one bucket
       directory — the reference's canonical-pattern index
-      (src/pattern/map.rs:13-25) as Hive-style partition pruning.
+      (src/pattern/map.rs:13-25) as Hive-style partition pruning.  The
+      predicate is only added when ``p_bucket`` is actually among the
+      store's columns (a wrapped/projected frame may have dropped it);
+      the legacy ``_inferdf_p_buckets`` DataFrame attribute is honored
+      as a fallback.
 
     Output columns: ``v{i}`` for each variable ``i`` in the pattern.
     """
-    n_p_buckets = getattr(triples, "_inferdf_p_buckets", None)
+    n_p_buckets = p_buckets if p_buckets is not None else getattr(triples, "_inferdf_p_buckets", None)
+    if n_p_buckets and "p_bucket" not in triples.columns:
+        n_p_buckets = None
     cond = F.col("sign") == F.lit(bool(pattern.sign))
     proj: dict[int, str] = {}
     for pos_name, node in zip(("s", "p", "o"), pattern.positions()):
@@ -84,6 +95,7 @@ def find_substitutions(
     const_ids: ConstIds,
     delta: DataFrame | None = None,
     distinct: bool = True,
+    p_buckets: int | None = None,
 ) -> DataFrame:
     """All substitutions satisfying the rule hypothesis (J1), optionally
     restricted to those touching at least one ``delta`` triple (J2).
@@ -111,7 +123,10 @@ def find_substitutions(
             order = [delta_slot] + [j for j in order if j != delta_slot]
         for j in order:
             src = delta if j == delta_slot else store
-            acc = _join_bindings(acc, scan_pattern(src, patterns[j], const_ids))
+            # bucket pruning applies to store-side scans only (the delta
+            # is an in-flight DataFrame without the partition column)
+            pb = None if j == delta_slot else p_buckets
+            acc = _join_bindings(acc, scan_pattern(src, patterns[j], const_ids, p_buckets=pb))
         return acc
 
     if delta is None:

@@ -16,11 +16,12 @@ violations in one pass — same validity verdict, a superset of diagnostics.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caches import CheckpointTracker, unpersist_rdd_ids
 from ..rules import Rule
 from ..schemas import (
     ERR_INVALID_LITERAL,
@@ -52,9 +53,18 @@ VIOLATIONS_SCHEMA = (
 @dataclass
 class ValidationResult:
     violations: DataFrame
+    # localCheckpoint blocks backing the per-rule substitutions the
+    # violations DataFrame reads — release() once done with the result
+    cache_ids: set = field(default_factory=set)
 
     def is_valid(self) -> bool:
         return not self.violations.limit(1).collect()
+
+    def release(self, blocking: bool = False) -> None:
+        """Free the cached substitutions (``violations`` becomes
+        unusable afterwards — lineage is truncated)."""
+        unpersist_rdd_ids(self.violations.sparkSession, self.cache_ids, blocking)
+        self.cache_ids = set()
 
 
 def boolean_facets(terms: DataFrame) -> DataFrame:
@@ -85,12 +95,24 @@ def validate(
     rules: list[Rule],
     const_ids: dict,
     functions: dict | None = None,
+    p_buckets: int | None = None,
 ) -> ValidationResult:
-    """One full deduction round routed into the three violation checks."""
+    """One full deduction round routed into the three violation checks.
+
+    The per-rule substitution sets are localCheckpointed: the hypothesis
+    join cascade over the store — the expensive part of the round — runs
+    ONCE per rule, and both the error probe below and the caller's later
+    ``violations`` action read the cached bindings instead of each
+    recomputing the deduction (the probe + violations previously cost
+    2-3 full rounds).  ``p_buckets`` enables predicate-bucket partition
+    pruning on a materialized store (see ``match.scan_pattern``).
+    """
     facets = resource_facets(terms)
+    tracker = CheckpointTracker(spark)
     batches = []
     for idx, rule in enumerate(rules):
-        subst = find_substitutions(store, rule, const_ids, delta=None)
+        subst = find_substitutions(store, rule, const_ids, delta=None, p_buckets=p_buckets)
+        subst, _ = tracker.checkpoint(subst)
         batches.append(conclude(subst, rule, idx, const_ids, facets, 0, functions))
     c = merge_concluded(spark, batches)
 
@@ -147,6 +169,7 @@ def validate(
         .collect()
     )
     if errs:
+        tracker.release()  # no-leak on the error path
         raise ExpressionError(f"error during validation: {errs[0].asDict()}")
     expected = F.col("sign")
     found = (
@@ -170,4 +193,4 @@ def validate(
     )
 
     violations = v_missing.unionByName(v_eq).unionByName(v_ne).unionByName(v_true)
-    return ValidationResult(violations)
+    return ValidationResult(violations, tracker.ids)

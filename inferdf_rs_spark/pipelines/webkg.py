@@ -313,13 +313,17 @@ def write_graph(
 
 def read_graph(spark: SparkSession, out_dir: str) -> Dataset:
     """Open a materialized graph.  The triples DataFrame RETAINS the
-    ``p_bucket`` partition column and carries the bucket count as the
-    ``_inferdf_p_buckets`` attribute: ``operators.match.scan_pattern``
-    reads it to add the bucket predicate for p-bound patterns, so those
-    scans prune to 1/n_buckets of the partitions (the reference's
-    canonical-pattern index, expressed as Hive-style partition pruning).
-    The engine drops the extra column at fixpoint entry, so the dataset
-    still feeds every API."""
+    ``p_bucket`` partition column and the returned ``Dataset`` carries
+    the bucket count (``Dataset.p_buckets``): the engine threads it into
+    ``operators.match.scan_pattern``, which adds the bucket predicate
+    for p-bound patterns so those scans prune to 1/n_buckets of the
+    partitions (the reference's canonical-pattern index, expressed as
+    Hive-style partition pruning).  The count lives on the Dataset — not
+    as a DataFrame attribute — so it survives ``.filter()``/``.select()``
+    composition over ``triples``; the legacy ``_inferdf_p_buckets``
+    attribute is still set for direct-DataFrame callers holding the
+    pristine object.  The engine drops the extra column at fixpoint
+    entry, so the dataset still feeds every API."""
     from pyspark.errors import AnalysisException
 
     from ..schemas import TRIPLES_SCHEMA
@@ -331,9 +335,13 @@ def read_graph(spark: SparkSession, out_dir: str) -> Dataset:
         triples = spark.createDataFrame([], TRIPLES_SCHEMA).withColumn(
             "p_bucket", F.lit(None).cast("int")
         )
+    p_buckets = None
     try:
         with open(os.path.join(out_dir, "graph_meta.json")) as f:
-            triples._inferdf_p_buckets = json.load(f)["n_p_buckets"]
+            p_buckets = json.load(f)["n_p_buckets"]
+        triples._inferdf_p_buckets = p_buckets
     except FileNotFoundError:
         triples = triples.drop("p_bucket")  # pre-meta layout: no pruning
-    return Dataset(triples, spark.read.parquet(os.path.join(out_dir, "terms")))
+    return Dataset(
+        triples, spark.read.parquet(os.path.join(out_dir, "terms")), p_buckets=p_buckets
+    )

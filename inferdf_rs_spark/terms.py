@@ -33,6 +33,7 @@ from .schemas import (
     KIND_LITERAL,
     REGEX_TYPE_IRI,
     TERMS_SCHEMA,
+    TRIPLES_SCHEMA,
     VT_ANY,
     VT_BOOL,
     VT_DECIMAL,
@@ -45,6 +46,90 @@ from .schemas import (
 
 # sentinel for null datatype/lang inside the hash (never a legal IRI/tag)
 _NULL_S = "\x00"
+
+# ------------------------------------------------------------- id width
+# 64-bit xxhash64 ids are the default.  At the 10^12-term design point
+# the birthday bound makes 64-bit collisions plausible (~2.7% chance of
+# at least one for 10^12 draws from 2^63 distinct positives), so
+# ``set_id_bits(128)`` switches the dictionary to 126-bit ids packed
+# into one decimal(38,0) column: two INDEPENDENT xxhash64 passes over
+# the same facets (the second with a salt prepended), combined as
+# ``h1·2^63 + pmod(h2, 2^63)`` — max magnitude 2^126 ≈ 8.5e37, inside
+# decimal(38,0) even under ANSI overflow checks.  Collision probability
+# at 10^12 terms drops to ~10^-14.  Every operator treats ids as opaque
+# scalars (join/groupBy/compare), so the mode changes ONLY the encoding
+# layer; Spark's set-operation widening (bigint → decimal) keeps
+# engine-internal empty frames and 64-bit minted existential ids
+# compatible with a decimal store.  Widths < 64 exist ONLY to let tests
+# inject birthday collisions cheaply (mask to 2^bits).
+ID_BITS = 64
+_ID_DEC = "decimal(38,0)"
+
+
+def set_id_bits(bits: int) -> None:
+    """Select the dictionary id width (the 128-bit collision fallback).
+
+    Call before any encoding; mixing widths in one dataset conflates or
+    splits terms.  Checkpoint resume (``fixpoint.load_checkpoint``) and
+    the DuckDB oracles assume the default 64-bit width."""
+    if bits != 64 and bits != 128 and not (4 <= bits < 64):
+        raise ValueError(f"id width must be 64, 128, or a 4..63 test width, got {bits}")
+    global ID_BITS
+    ID_BITS = bits
+
+
+class id_bits:
+    """Context manager: ``with id_bits(128): ...`` (restores on exit)."""
+
+    def __init__(self, bits: int):
+        self.bits = bits
+
+    def __enter__(self):
+        self.prev = ID_BITS
+        set_id_bits(self.bits)
+
+    def __exit__(self, *exc):
+        set_id_bits(self.prev)
+
+
+def id_spark_type() -> str:
+    return "bigint" if ID_BITS <= 64 else _ID_DEC
+
+
+def _id_struct_type():
+    from pyspark.sql import types as T
+
+    return T.LongType() if ID_BITS <= 64 else T.DecimalType(38, 0)
+
+
+def triples_schema():
+    """``TRIPLES_SCHEMA`` with id columns at the active width."""
+    from pyspark.sql import types as T
+
+    if ID_BITS <= 64:
+        return TRIPLES_SCHEMA
+    return T.StructType(
+        [
+            T.StructField(f.name, _id_struct_type(), f.nullable)
+            if f.name in ("s", "p", "o", "g")
+            else f
+            for f in TRIPLES_SCHEMA.fields
+        ]
+    )
+
+
+def terms_schema():
+    """``TERMS_SCHEMA`` with ``term_id`` at the active width."""
+    from pyspark.sql import types as T
+
+    if ID_BITS <= 64:
+        return TERMS_SCHEMA
+    return T.StructType(
+        [
+            T.StructField(f.name, _id_struct_type(), f.nullable) if f.name == "term_id" else f
+            for f in TERMS_SCHEMA.fields
+        ]
+    )
 
 
 @dataclass(frozen=True)
@@ -74,13 +159,24 @@ class Term:
 
 
 def term_id_col(kind: Column, lexical: Column, datatype: Column, lang: Column) -> Column:
-    """Deterministic term id: xxhash64 over the four facets (nulls → sentinel)."""
-    return F.xxhash64(
+    """Deterministic term id over the four facets (nulls → sentinel) at
+    the active ``ID_BITS`` width (see the id-width block above)."""
+    facets = (
         kind.cast("int"),
         lexical,
         F.coalesce(datatype, F.lit(_NULL_S)),
         F.coalesce(lang, F.lit(_NULL_S)),
     )
+    h1 = F.xxhash64(*facets)
+    if ID_BITS == 64:
+        return h1
+    if ID_BITS < 64:  # test-only narrow width: forces birthday collisions
+        return F.pmod(h1, F.lit(1 << ID_BITS)).cast("long")
+    from decimal import Decimal
+
+    two63 = F.lit(Decimal(1 << 63))  # 2^63 > Long.MAX — must be a decimal literal
+    h2 = F.xxhash64(F.lit("#id2"), *facets)  # independent second 64 bits
+    return (h1.cast(_ID_DEC) * two63 + F.pmod(h2.cast(_ID_DEC), two63)).cast(_ID_DEC)
 
 
 def terms_df(spark: SparkSession, terms: list[Term]) -> DataFrame:
@@ -121,7 +217,7 @@ def encode_term_batch(df: DataFrame, kind: str = "kind", lexical: str = "lexical
 
 
 def empty_terms(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame([], TERMS_SCHEMA)
+    return spark.createDataFrame([], terms_schema())
 
 
 def merge_terms(*dfs: DataFrame) -> DataFrame:
@@ -133,15 +229,24 @@ def merge_terms(*dfs: DataFrame) -> DataFrame:
 
 
 def audit_collisions(terms: DataFrame) -> DataFrame:
-    """64-bit hash-collision audit: ids carrying >1 distinct lexical form.
+    """Hash-collision audit: ids carrying >1 distinct lexical form.
 
-    At 10^12-term scale the birthday bound makes collisions possible;
-    run this after bulk encoding and fail the job if non-empty (the
-    mitigation is a 128-bit id mode — out of scope until it trips).
+    At 10^12-term scale the birthday bound makes 64-bit collisions
+    possible; run this after bulk encoding and fail the job if
+    non-empty.  The remedy is ``set_id_bits(128)`` (see the id-width
+    block above): re-encode the corpus with 126-bit decimal ids, under
+    which the audit passes (tripped-at-64 / clean-at-128 is pinned by
+    tests/test_extensions.py::test_id_width_collision_fallback).
     """
+    # count_distinct over a STRUCT, not the bare columns: multi-arg
+    # count_distinct drops any tuple containing a NULL, and datatype/lang
+    # are null for every IRI and blank node — the bare-column form was
+    # blind to collisions between exactly the terms that dominate a web
+    # KG (caught by test_id_width_collision_fallback's injected
+    # collisions; struct values with null fields count normally)
     return (
         terms.groupBy("term_id")
-        .agg(F.count_distinct("kind", "lexical", "datatype", "lang").alias("n"))
+        .agg(F.count_distinct(F.struct("kind", "lexical", "datatype", "lang")).alias("n"))
         .filter(F.col("n") > 1)
     )
 

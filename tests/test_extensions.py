@@ -205,6 +205,98 @@ def test_streaming_accumulates_minted_terms_and_eqs(spark):
     assert sg.eqs is not None and sg.eqs.count() == 1
 
 
+def test_id_width_collision_fallback(spark):
+    """The collision audit trips on a term population whose ids collide
+    at a narrow width and passes the SAME population at 128-bit — the
+    documented remedy for a tripped 64-bit audit at the 10^12-term
+    design point (terms.set_id_bits)."""
+    from inferdf_rs_spark import id_bits
+    from inferdf_rs_spark.terms import audit_collisions, terms_df
+
+    terms = [blank(f"t{i}") for i in range(2000)]
+    # 16-bit ids: 2000 draws from 2^16 → birthday collisions certain
+    with id_bits(16):
+        assert audit_collisions(terms_df(spark, terms)).count() > 0
+    with id_bits(128):
+        tdf = terms_df(spark, terms)
+        assert dict(tdf.dtypes)["term_id"] == "decimal(38,0)"
+        assert audit_collisions(tdf).count() == 0
+        assert tdf.select("term_id").distinct().count() == 2000
+
+
+def test_id_width_128_engine_parity(spark):
+    """The full engine path — encode, conjunctive join, semi-naive
+    fixpoint (both broadcast and co-partitioned-piece regimes), decode —
+    must produce the identical lexical closure under 128-bit decimal ids
+    as under default 64-bit ids (ids are opaque to every operator)."""
+    from inferdf_rs_spark import id_bits
+    from inferdf_rs_spark.terms import decode_triples
+
+    def closure(**kw):
+        chain = [(blank(str(i)), iri(EX + "anc"), blank(str(i + 1))) for i in range(5)]
+        ds = build_dataset(spark, chain)
+        from inferdf_rs_spark import stmt_triple
+
+        tc = rule(
+            variables=3,
+            hypothesis=[
+                pat("+", v(0), iri(EX + "anc"), v(1)),
+                pat("+", v(1), iri(EX + "anc"), v(2)),
+            ],
+            statements=[stmt_triple("+", v(0), iri(EX + "anc"), v(2))],
+        )
+        res = System(spark, [tc]).fixpoint(ds, **kw)
+        rows = sorted(
+            (r.s_lex, r.p_lex, r.o_lex, bool(r.sign))
+            for r in decode_triples(res.store, res.terms).collect()
+        )
+        res.release()
+        return rows
+
+    want = closure()
+    with id_bits(128):
+        assert closure() == want
+        assert closure(store_broadcast_rows=0, compact_pieces=2) == want
+
+
+def test_streaming_replay_idempotent(spark):
+    """foreachBatch restart semantics: on recovery Spark REDELIVERS the
+    last uncommitted micro-batch (same epoch id, same data).  Replaying
+    an already-applied batch must leave the accumulated graph unchanged
+    — same store count, same canonical graph signature — which is what
+    makes the streaming-checkpoint exactly-once claim
+    (streaming/ingest.py module doc) actually hold end-to-end."""
+    from inferdf_rs_spark.encode import iri_edges
+    from inferdf_rs_spark.operators.canon import graph_signature
+    from inferdf_rs_spark.rules import stmt_triple
+    from inferdf_rs_spark.streaming.ingest import StreamingGraph
+
+    EXK = "https://example.org/r#"
+    r = rule(
+        variables=2,
+        hypothesis=[pat("+", v(0), iri(EXK + "a"), v(1))],
+        statements=[stmt_triple("+", v(0), iri(EXK + "b"), v(1))],
+    )
+    sysm = System(spark, [r])
+    sg = StreamingGraph(spark, sysm, out_dir="/tmp/unused")
+
+    def batch(rows):
+        return iri_edges(
+            spark.createDataFrame(rows, "s_lex string, p_lex string, o_lex string")
+        )
+
+    sg.process_batch(batch([(EXK + "x1", EXK + "a", EXK + "y1")]), 0)
+    sg.process_batch(batch([(EXK + "x2", EXK + "a", EXK + "y2")]), 1)
+    n = sg.store.count()
+    sig = graph_signature(sg.store, sg.terms)
+
+    sg.process_batch(batch([(EXK + "x2", EXK + "a", EXK + "y2")]), 1)  # replayed epoch
+
+    assert sg.store.count() == n
+    assert graph_signature(sg.store, sg.terms) == sig
+    sg._tracker.release()
+
+
 def test_streaming_incremental_graph(spark, tmp_path):
     """Two page micro-batches; the incremental graph equals the batch
     pipeline's fixpoint over the union."""

@@ -1,6 +1,7 @@
 """Operator-level fixtures (FIXTURES.md §6.5 / SURVEY.md §2)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from inferdf_rs_spark import (
     System,
@@ -578,6 +579,47 @@ def test_fixpoint_checkpoint_resume(spark, tmp_path):
     resumed = sysm.fixpoint(ds, checkpoint_dir=d1)
     assert resumed.store.count() == 15
     assert resumed.rounds == full.rounds
+
+
+def test_fixpoint_minting_eq_rules_survive_piece_compaction(spark):
+    # regression: in the round AFTER a piece compaction (or the
+    # small-to-large transition) the prior round's delta-checkpoint
+    # blocks were released before the new_terms/eqs/trues jobs ran —
+    # those jobs lazily recompute the deduction, which still reads that
+    # delta, and a localCheckpoint's lineage is truncated, so any rule
+    # system with term minting or Eq/True statements died with
+    # "checkpoint block not found".  compact_pieces=1 +
+    # store_broadcast_rows=0 force a compaction every round.
+    chain = [(blank(str(i)), iri(EX + "anc"), blank(str(i + 1))) for i in range(5)]
+    ds = build_dataset(spark, chain)
+    tc = rule(
+        variables=3,
+        hypothesis=[
+            pat("+", v(0), iri(EX + "anc"), v(1)),
+            pat("+", v(1), iri(EX + "anc"), v(2)),
+        ],
+        statements=[stmt_triple("+", v(0), iri(EX + "anc"), v(2))],
+    )
+    eqr = rule(
+        variables=2,
+        hypothesis=[pat("+", v(0), iri(EX + "anc"), v(1))],
+        statements=[stmt_eq("+", v(0), v(0))],
+    )
+    mintr = rule(
+        variables=2,
+        hypothesis=[pat("+", v(0), iri(EX + "anc"), v(1))],
+        statements=[stmt_triple("+", v(0), iri(EX + "hasWitness"), v(2))],
+        existentials=1,
+    )
+    sysm = System(spark, [tc, eqr, mintr])
+    res = sysm.fixpoint(ds, store_broadcast_rows=0, compact_pieces=1)
+    # closure complete: 15 anc facts + one minted witness per anc fact
+    assert res.store.filter(F.col("s").isNotNull()).count() == 30
+    # one Eq row per (substitution, lineage); 5 distinct reflexive pairs
+    # (nodes 0..4 appear as anc subjects in the closure)
+    assert res.eqs.select("a", "b").distinct().count() == 5
+    assert res.terms.count() > ds.terms.count()  # minted terms accumulated
+    res.release()
 
 
 def test_fixpoint_lineage_deterministic_when_multiply_derived(spark):

@@ -203,12 +203,32 @@ def test_materialized_graph_p_bound_scan_prunes_partitions(spark, tmp_path):
 
     knows = iri(EX + "knows")
     cids = encode_terms(spark, [knows])
-    df = scan_pattern(rg.triples, pat("+", v(0), knows, v(1)), cids)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    want = f"p_bucket#"  # a real partition filter, not a post-scan filter
-    pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
-    assert pf_lines and want in pf_lines[0] and "p_bucket" in pf_lines[0].split("PartitionFilters")[1]
-    assert df.count() == 4  # and the scan still returns the right rows
+
+    def assert_prunes(df, expect_rows):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+        assert pf_lines and "p_bucket#" in pf_lines[0]
+        assert "p_bucket" in pf_lines[0].split("PartitionFilters")[1]
+        assert df.count() == expect_rows
+
+    assert_prunes(scan_pattern(rg.triples, pat("+", v(0), knows, v(1)), cids), 4)
+
+    # pruning must SURVIVE composition: the bucket count rides on the
+    # Dataset, so a .filter()-wrapped store (which sheds any ad-hoc
+    # DataFrame attribute) still prunes when the engine threads
+    # rg.p_buckets through (ADVICE r3)
+    assert rg.p_buckets == 16
+    from pyspark.sql import functions as F
+
+    wrapped = rg.triples.filter(F.col("sign"))
+    assert getattr(wrapped, "_inferdf_p_buckets", None) is None  # attr is gone
+    assert_prunes(
+        scan_pattern(wrapped, pat("+", v(0), knows, v(1)), cids, p_buckets=rg.p_buckets), 4
+    )
+    # and a frame that DROPPED the partition column must not raise —
+    # the bucket predicate is skipped when p_bucket is absent
+    shed = rg.triples.drop("p_bucket")
+    assert scan_pattern(shed, pat("+", v(0), knows, v(1)), cids, p_buckets=rg.p_buckets).count() == 4
 
 
 def test_pipeline_kill_resume_same_signature(spark, tmp_path):
