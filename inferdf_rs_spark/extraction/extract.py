@@ -197,40 +197,107 @@ def make_mention_detector(alias_list: list[str], spark=None):
     if cached is not None:
         return cached[0]
 
+    match_normed, bc = _make_normed_matcher(spark, norm_map, path)
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def detect(text: pd.Series) -> pd.Series:
+        normed = text.fillna("").str.lower().str.replace(_NORM_RE, " ", regex=True)
+        return match_normed(normed)
+
+    _cache_detector(cache_key, detect, bc)
+    return detect
+
+
+def _make_normed_matcher(spark, norm_map: dict[str, str], path: str):
+    """The shared matching core: a callable over the NORMALIZED text
+    series returning per-row surface lists, plus the broadcast handle
+    (trie path).  Both the standalone detector and the fused
+    extract+detect kernel wrap this, so the two physical paths keep one
+    semantics definition."""
+    if not norm_map:
+
+        def match_none(normed: pd.Series) -> pd.Series:
+            return pd.Series([[] for _ in range(len(normed))], index=normed.index)
+
+        return match_none, None
     if path == "regex":
         alts = "|".join(re.escape(a) for a in sorted(norm_map, key=lambda a: (-len(a), a)))
         pat = re.compile(rf"(?<![a-z0-9])(?:{alts})(?![a-z0-9])")
         surface_of = dict(norm_map)
 
-        @F.pandas_udf(T.ArrayType(T.StringType()))
-        def detect(text: pd.Series) -> pd.Series:
-            normed = text.fillna("").str.lower().str.replace(_NORM_RE, " ", regex=True)
+        def match_normed(normed: pd.Series) -> pd.Series:
             return normed.str.findall(pat).map(
                 lambda xs: list(dict.fromkeys(surface_of[x] for x in xs))
             )
 
-        detector, bc = detect, None
-    else:
-        import uuid
+        return match_normed, None
 
-        bc = spark.sparkContext.broadcast(norm_map)
-        trie_key = uuid.uuid4().hex  # stable per detector, survives GC address reuse
+    import uuid
 
-        @F.pandas_udf(T.ArrayType(T.StringType()))
-        def detect_trie(text: pd.Series) -> pd.Series:
-            trie = _trie_for(trie_key, bc.value)
-            normed = text.fillna("").str.lower().str.replace(_NORM_RE, " ", regex=True)
-            return normed.map(lambda s: _match_tokens(s.split(), trie))
+    bc = spark.sparkContext.broadcast(norm_map)
+    trie_key = uuid.uuid4().hex  # stable per detector, survives GC address reuse
 
-        detector = detect_trie
+    def match_normed(normed: pd.Series) -> pd.Series:
+        trie = _trie_for(trie_key, bc.value)
+        return normed.map(lambda s: _match_tokens(s.split(), trie))
 
+    return match_normed, bc
+
+
+def _cache_detector(cache_key, detector, bc) -> None:
     if len(_DETECTOR_CACHE) >= 8:
         for _, old_bc in _DETECTOR_CACHE.values():
             if old_bc is not None:
                 old_bc.unpersist(False)
         _DETECTOR_CACHE.clear()
     _DETECTOR_CACHE[cache_key] = (detector, bc)
-    return detector
+
+
+def make_fused_extract_detect(alias_list: list[str], spark=None):
+    """One Arrow pass: html → text-strip → fidelity bit → normalized
+    mention detection, returning ``struct<surfaces:array<string>,
+    fid_ok:boolean>``.
+
+    The pipeline fast path (``webkg.run_pipeline``): the extracted text
+    itself never leaves the Python worker — only the (tiny) surface
+    list and the fidelity bit cross Arrow and enter the storage pool.
+    The unfused shape (extract_text → persist extracted_text → detect
+    UDF) moves the full text through Arrow twice AND through the block
+    store once; at 2M pages that made the extract stage
+    memory-bandwidth-bound (stage scaling efficiency 0.446 at 8→32
+    cores on one socket) while the matcher itself is CPU-bound and
+    scales ~4x.  Semantics are IDENTICAL to extract_text +
+    make_mention_detector + eqNullSafe fidelity (parity-tested:
+    tests/test_webkg.py::test_fused_extract_detect_parity); the
+    matching core is shared (``_make_normed_matcher``)."""
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+    norm_map = _norm_alias_map(alias_list)
+    path = "regex" if len(norm_map) <= REGEX_GAZETTEER_MAX else "trie"
+    cache_key = (
+        spark.sparkContext.applicationId if spark is not None else None,
+        "fused:" + path,
+        len(norm_map),
+        hash(tuple(sorted(norm_map.items()))),
+    )
+    cached = _DETECTOR_CACHE.get(cache_key)
+    if cached is not None:
+        return cached[0]
+
+    match_normed, bc = _make_normed_matcher(spark, norm_map, path)
+
+    @F.pandas_udf("surfaces array<string>, fid_ok boolean")
+    def fused(html_str: pd.Series, text: pd.Series) -> pd.DataFrame:
+        extracted = html_str.map(_strip_html)  # never null ("" for null html)
+        # eqNullSafe parity: extracted is non-null, so null text ⇒ False
+        fid_ok = extracted.eq(text).fillna(False)
+        normed = extracted.str.lower().str.replace(_NORM_RE, " ", regex=True)
+        return pd.DataFrame({"surfaces": match_normed(normed), "fid_ok": fid_ok})
+
+    _cache_detector(cache_key, fused, bc)
+    return fused
 
 
 def best_links(alias_dict: DataFrame) -> DataFrame:

@@ -133,6 +133,58 @@ def auto_n_planes(n_vectors: int, target_occupancy: int = 64, lo: int = 4, hi: i
     return max(lo, min(hi, math.ceil(math.log2(n_vectors / target_occupancy))))
 
 
+def auto_lsh_params(
+    n_vectors: int,
+    target_occupancy: int = 64,
+    target_recall: float = 0.9,
+    p_agree: float = 2.0 / 3.0,
+    max_probes: int = 4,
+    max_tables: int = 64,
+    lo: int = 4,
+    hi: int = 24,
+) -> tuple[int, int, int]:
+    """Joint (n_planes, n_tables, n_probes) from corpus-size METADATA.
+
+    ``auto_n_planes`` alone keeps bucket occupancy bounded, but recall
+    falls as planes grow (a true neighbor must agree on more sign bits
+    per table), and at the hi-clamp recall was previously
+    uncharacterized.  This scales the recall knobs ALONGSIDE the plane
+    count using the standard random-hyperplane model: a neighbor pair at
+    angle θ agrees with one plane w.p. ``p_agree`` (= 1 − θ/π; the 2/3
+    default is θ = 60°, cosine 0.5 — conservative for near-duplicate
+    neighbors, which are closer), so its per-table collision probability
+    within the multiprobe Hamming ball of radius r is
+    ``q = Σ_{h≤r} C(planes, h)·p^(planes−h)·(1−p)^h`` and OR-over-tables
+    recall is ``1 − (1−q)^tables``.  Probes grow first (query-side only
+    — data-side cost is zero), then tables to the smallest count meeting
+    ``target_recall``, clamped to ``max_tables`` (data-side cost is
+    linear in tables).  Pure driver-side arithmetic — no data probe.
+    Validated end-to-end on a 50k-vector clustered fixture
+    (tests/test_extensions.py::test_ann_lsh_auto_params_recall_at_scale).
+    """
+    import math
+
+    planes = auto_n_planes(n_vectors, target_occupancy, lo=lo, hi=hi)
+
+    def q(probes: int) -> float:
+        r = probes - 1
+        return sum(
+            math.comb(planes, h) * p_agree ** (planes - h) * (1 - p_agree) ** h
+            for h in range(r + 1)
+        )
+
+    probes = 3
+    while probes < max_probes and q(probes) < 0.15:
+        probes += 1
+    qq = q(probes)
+    if qq >= 1.0:
+        tables = 1
+    else:
+        tables = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - qq))
+    tables = max(8, min(max_tables, tables))
+    return planes, tables, probes
+
+
 def sign_codes(
     embeddings: DataFrame,
     dim: int,
@@ -173,7 +225,7 @@ def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.4,
     n_planes: int | None = 8,
-    n_tables: int = 8,
+    n_tables: int | None = 8,
     dim: int | None = None,
     n_vectors: int | None = None,
     id_col: str = "vec_id",
@@ -198,7 +250,12 @@ def embedding_near_dup_pairs(
     if n_planes is None:
         if n_vectors is None:
             raise ValueError("n_planes=None (auto) requires n_vectors (corpus-size metadata)")
-        n_planes = auto_n_planes(n_vectors)
+        if n_tables is None:  # joint auto: recall knob scales with the plane count
+            n_planes, n_tables, _ = auto_lsh_params(n_vectors)
+        else:
+            n_planes = auto_n_planes(n_vectors)
+    elif n_tables is None:
+        raise ValueError("n_tables=None (auto) requires n_planes=None too")
 
     codes = sign_codes(embeddings, dim, n_planes, n_tables, id_col, vec_col)
     a = codes.select(F.col(id_col).alias("id_a"), "tbl", "code")
@@ -225,7 +282,7 @@ def lsh_bucket_ann(
     query_ids: list[int],
     k: int = 10,
     n_planes: int | None = 8,
-    n_tables: int = 8,
+    n_tables: int | None = 8,
     n_probes: int = 3,
     dim: int | None = None,
     n_vectors: int | None = None,
@@ -272,7 +329,12 @@ def lsh_bucket_ann(
     if n_planes is None:
         if n_vectors is None:
             raise ValueError("n_planes=None (auto) requires n_vectors (corpus-size metadata)")
-        n_planes = auto_n_planes(n_vectors)
+        if n_tables is None:  # joint auto: recall knobs scale with the plane count
+            n_planes, n_tables, n_probes = auto_lsh_params(n_vectors)
+        else:
+            n_planes = auto_n_planes(n_vectors)
+    elif n_tables is None:
+        raise ValueError("n_tables=None (auto) requires n_planes=None too")
 
     with_b = sign_codes(embeddings, dim, n_planes, n_tables, id_col, vec_col)
 

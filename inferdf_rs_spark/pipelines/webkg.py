@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from ..encode import dedup_triples, encode_edges, term_rows
 from ..engine import Dataset, System
 from ..extraction import synth
-from ..extraction.extract import extract_text, link_mentions, verify_fidelity
+from ..extraction.extract import extract_text, link_mentions
 from ..operators.fixpoint import FixpointResult
 from ..rules import iri, pat, rule, stmt_triple, v
 from ..schemas import KIND_IRI, KIND_LITERAL, RDF_TYPE, XSD_STRING
@@ -73,13 +73,26 @@ def stated_edges(
     sameas: DataFrame,
     text_col: str = "extracted_text",
     aliases: list[str] | None = None,
+    surfaces_col: str | None = None,
 ) -> DataFrame:
     """Assemble the stated-edge table (lexical, pre-encoding).
 
     ``aliases``: optional pre-collected alias vocabulary — repeated
     callers (bench iterations, streaming micro-batches) collect the
-    dictionary once instead of once per call."""
-    linked = link_mentions(pages, alias_dict, text_col=text_col, aliases=aliases)
+    dictionary once instead of once per call.
+    ``surfaces_col``: if the pages frame already carries detected
+    mention surfaces (the fused extract+detect fast path), link straight
+    from that column — no second detection pass."""
+    if surfaces_col is not None:
+        from ..extraction.extract import best_links
+
+        mentions = pages.select("url", F.explode(F.col(surfaces_col)).alias("surface"))
+        dim = best_links(alias_dict)
+        linked = mentions.join(
+            F.broadcast(dim), mentions.surface == dim["alias"], "inner"
+        ).select("url", "surface", "iri", "score")
+    else:
+        linked = link_mentions(pages, alias_dict, text_col=text_col, aliases=aliases)
     null_s = F.lit(None).cast("string")
 
     def iri_obj(df):
@@ -155,24 +168,55 @@ def run_pipeline(
     audit_dictionary: bool = False,
     static_terms: DataFrame | None = None,
     aliases: list[str] | None = None,
+    fused_extract: bool = True,
 ) -> PipelineResult:
     timings: dict[str, float] = {}
 
     t0 = time.perf_counter()
-    # persist ONLY the slim projection (url, lang, extracted_text, fidelity
-    # bit): caching raw html+text too (~3.5KB/page) evicts under memory
-    # pressure and anti-scales — measured 84s vs 31s at 2M pages.  One
-    # Arrow pass feeds the fidelity check, the linking pass and lang edges.
-    pages = (
-        extract_text(pages)
-        .select(
-            "url",
-            "lang",
-            "extracted_text",
-            F.col("extracted_text").eqNullSafe(F.col("text")).alias("_fid_ok"),
-        )
-        .persist()
+    alias_d, etypes, sameas = (
+        synth.alias_dict(spark),
+        synth.entity_types(spark),
+        synth.sameas_seed(spark),
     )
+    if fused_extract:
+        # ONE fused Arrow pass per page: html→text strip, byte-fidelity
+        # bit, and normalized mention detection — the extracted text never
+        # leaves the Python worker.  Persist ONLY the slim result (url,
+        # lang, surfaces, fidelity bit, ~0.1KB/page): the unfused shape
+        # caches the full extracted_text (~1.2KB/page) and ships it
+        # through Arrow a second time for detection.  Caching raw
+        # html+text would be worse still (3.5KB/page; measured 84s vs 31s
+        # at 2M pages).
+        from ..extraction.extract import collect_alias_vocabulary, make_fused_extract_detect
+
+        if aliases is None:
+            aliases = collect_alias_vocabulary(alias_d)
+        det = make_fused_extract_detect(aliases, spark=spark)
+        pages = (
+            pages.select(
+                "url", "lang", det(F.decode(F.col("html"), "utf-8"), F.col("text")).alias("_ex")
+            )
+            .select(
+                "url",
+                "lang",
+                F.col("_ex.surfaces").alias("surfaces"),
+                F.col("_ex.fid_ok").alias("_fid_ok"),
+            )
+            .persist()
+        )
+    else:
+        # unfused A/B reference path: extract UDF + JVM fidelity bit,
+        # detection deferred to the linking stage over the cached text
+        pages = (
+            extract_text(pages)
+            .select(
+                "url",
+                "lang",
+                "extracted_text",
+                F.col("extracted_text").eqNullSafe(F.col("text")).alias("_fid_ok"),
+            )
+            .persist()
+        )
     stats = pages.agg(
         F.count("*").alias("n"),
         F.sum(F.when(F.col("_fid_ok"), 0).otherwise(1)).alias("bad"),
@@ -183,12 +227,15 @@ def run_pipeline(
     timings["extract_verify"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    alias_d, etypes, sameas = (
-        synth.alias_dict(spark),
-        synth.entity_types(spark),
-        synth.sameas_seed(spark),
+    edges = stated_edges(
+        spark,
+        pages,
+        alias_d,
+        etypes,
+        sameas,
+        aliases=aliases,
+        surfaces_col="surfaces" if fused_extract else None,
     )
-    edges = stated_edges(spark, pages, alias_d, etypes, sameas, aliases=aliases)
     # dictionary from its natural sources instead of a distinct over the
     # 3x-projected edge table: urls are unique per page (no shuffle),
     # predicates/entities/types are batch-invariant (precomputable via

@@ -100,6 +100,53 @@ def test_ann_lsh_recall_vs_exact(spark):
     assert recall >= 0.9, f"LSH-ANN recall {recall} < 0.9"
 
 
+def test_ann_lsh_auto_params_recall_at_scale(spark):
+    """Joint auto-parameterization (auto_lsh_params) must hold recall
+    ≥ 0.9 on the largest feasible local fixture — 50k clustered
+    vectors, 25× the sf0.1 table, where auto_n_planes already exceeds
+    the hand-tuned 8-plane default — with n_tables/n_probes scaled
+    alongside the plane count.  Also pins the model's clamp behavior:
+    at 10^10 vectors the plane count hi-clamps at 24 and the table
+    count rises to compensate."""
+    import numpy as np
+
+    from inferdf_rs_spark.operators import similarity
+
+    # clamp behavior: planes saturate, tables grow to hold recall
+    p_small, t_small, _ = similarity.auto_lsh_params(10**5)
+    p_huge, t_huge, probes_huge = similarity.auto_lsh_params(10**10)
+    assert p_huge == 24 and p_small < p_huge
+    assert t_huge > t_small and probes_huge >= 3
+
+    # 50k clustered vectors (500 clusters × 100, centroid + noise —
+    # embedding-like geometry where neighbors are genuinely close)
+    rng = np.random.RandomState(7)
+    dim, n_clusters, per = 32, 500, 100
+    cents = rng.randn(n_clusters, dim)
+    vecs = (
+        np.repeat(cents, per, axis=0) + 0.35 * rng.randn(n_clusters * per, dim)
+    ).astype("float32")
+    n = len(vecs)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<float>",
+    ).cache()
+    emb.count()
+    qids = [0, 5_000, 17_500, 33_333, 49_999]
+    planes, tables, probes = similarity.auto_lsh_params(n)
+    assert planes > 8  # this fixture really is past the hand-tuned default
+    exact = similarity.brute_force_topk(emb, qids, k=10)
+    approx = similarity.lsh_bucket_ann(
+        emb, qids, k=10, dim=dim, n_planes=None, n_tables=None, n_vectors=n
+    )
+    recall = similarity.recall_vs_exact(approx, exact)
+    emb.unpersist()
+    assert recall >= 0.9, (
+        f"auto-params recall {recall} < 0.9 at n={n} (planes={planes}, "
+        f"tables={tables}, probes={probes})"
+    )
+
+
 def test_ann_lsh_auto_planes_bound_occupancy(spark):
     """auto_n_planes must grow the plane count with the corpus so the
     probed-candidate count stays SUBLINEAR in n: a 10× corpus gets more

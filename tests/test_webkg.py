@@ -126,6 +126,42 @@ def test_gazetteer_50k_aliases_completes(spark):
     assert out.filter(F.col("surface").startswith("zzalias")).count() == 0
 
 
+def test_fused_extract_detect_parity(spark):
+    """The fused extract+detect kernel (one Arrow pass, run_pipeline's
+    fast path) must emit exactly the surfaces and fidelity bit of the
+    unfused extract_text → make_mention_detector → eqNullSafe path, on
+    BOTH physical matcher paths (compiled regex / broadcast trie)."""
+    from inferdf_rs_spark.extraction import extract
+
+    pages = synth.synth_pages(spark, 40)
+    aliases = [r.alias for r in synth.alias_dict(spark).select("alias").distinct().collect()]
+
+    def run_parity():
+        fused = extract.make_fused_extract_detect(aliases, spark=spark)
+        det = extract.make_mention_detector(aliases, spark=spark)
+        a = pages.select(
+            "url", fused(F.decode(F.col("html"), "utf-8"), F.col("text")).alias("ex")
+        )
+        b = extract_text(pages).select(
+            "url",
+            det(F.col("extracted_text")).alias("ref_surfaces"),
+            F.col("extracted_text").eqNullSafe(F.col("text")).alias("ref_fid"),
+        )
+        rows = a.join(b, "url").collect()
+        assert rows
+        for r in rows:
+            assert list(r.ex.surfaces) == list(r.ref_surfaces), r.url
+            assert r.ex.fid_ok == r.ref_fid, r.url
+
+    run_parity()  # regex path
+    saved = extract.REGEX_GAZETTEER_MAX
+    extract.REGEX_GAZETTEER_MAX = 0  # force the broadcast-trie path
+    try:
+        run_parity()
+    finally:
+        extract.REGEX_GAZETTEER_MAX = saved
+
+
 def test_pipeline_golden_pr(spark, tmp_path):
     pages = synth.synth_pages(spark, N_PAGES)
     out_dir = str(tmp_path / "graph")
