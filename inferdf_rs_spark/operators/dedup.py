@@ -48,10 +48,15 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
     Returns (id, dup_key, group_size, keep)."""
     w = Window.partitionBy("dup_key").orderBy(F.col(id_col))
+    # group_size over the SAME ordered window spec (full-partition frame):
+    # identical partition+order lets Catalyst evaluate both functions in
+    # ONE WindowExec over one exchange+sort — a separate unordered window
+    # was a second Window pass over the same partitioning
+    wsz = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return (
         docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("dup_key"))
         .withColumn("rnk", F.row_number().over(w))
-        .withColumn("group_size", F.count("*").over(Window.partitionBy("dup_key")))
+        .withColumn("group_size", F.count("*").over(wsz))
         .select(id_col, "dup_key", "group_size", (F.col("rnk") == 1).alias("keep"))
     )
 

@@ -306,6 +306,37 @@ def test_id_width_128_engine_parity(spark):
         assert closure(store_broadcast_rows=0, compact_pieces=2) == want
 
 
+def test_id_width_128_pipeline_parity(spark, tmp_path):
+    """The whole north-rule pipeline — fused extraction, bulk encoding,
+    stated-layer dedup, rule fixpoint, predicate-bucket materialization
+    and re-open — must produce the identical lexical graph under 128-bit
+    decimal ids as under the 64-bit default."""
+    from inferdf_rs_spark import id_bits
+    from inferdf_rs_spark.extraction import synth
+    from inferdf_rs_spark.pipelines import webkg
+    from inferdf_rs_spark.terms import decode_triples
+
+    pages = synth.synth_pages(spark, 40).localCheckpoint(eager=True)
+
+    def lexical_graph(pr):
+        return sorted(
+            (r.s_lex, r.p_lex, r.o_lex)
+            for r in decode_triples(pr.result.store, pr.result.terms).collect()
+        )
+
+    base = webkg.run_pipeline(spark, pages, skip_fidelity=True)
+    want = lexical_graph(base)
+    with id_bits(128):
+        out = str(tmp_path / "g128")
+        wide = webkg.run_pipeline(spark, pages, out_dir=out, skip_fidelity=True)
+        assert dict(wide.result.store.dtypes)["s"] == "decimal(38,0)"
+        assert wide.n_total == base.n_total
+        assert lexical_graph(wide) == want
+        # materialized graph round-trips at the wide width
+        rg = webkg.read_graph(spark, out)
+        assert rg.triples.count() == wide.n_total
+
+
 def test_streaming_replay_idempotent(spark):
     """foreachBatch restart semantics: on recovery Spark REDELIVERS the
     last uncommitted micro-batch (same epoch id, same data).  Replaying
