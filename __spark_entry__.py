@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_consecutive": Q.q_cosine_consecutive,
         "ann_topk": Q.q_ann_topk,
         "ann_lsh": Q.q_ann_lsh,  # deterministic integer LSH — fully oracled
+        "ann_lsh_auto": Q.q_ann_lsh_auto,  # corpus-size-derived (planes, tables, probes)
         "embed_near_dup": Q.q_embed_near_dup,  # embedding-cosine dedup
         # multimodal plumbing (deterministic stub decode — oracled)
         "multimodal_features": Q.q_multimodal_features,
@@ -142,15 +143,20 @@ _LSH_N_TABLES = 8
 _LSH_N_PLANES = 8
 _LSH_DIM = 64
 
-_LSH_PLANES = (
-    "pl AS (SELECT t, p, list(w ORDER BY d) AS wl FROM ("
-    "SELECT tt.t, pp.p, dd.d, "
-    "(('0x' || substr(md5('plane:' || tt.t || ':' || pp.p || ':' || dd.d), 1, 8))::BIGINT"
-    " - 2147483648) AS w "
-    f"FROM (SELECT unnest(range({_LSH_N_TABLES})) AS t) tt, "
-    f"(SELECT unnest(range({_LSH_N_PLANES})) AS p) pp, "
-    f"(SELECT unnest(range({_LSH_DIM})) AS d) dd) GROUP BY t, p)"
-)
+
+def _lsh_planes(n_tables: int, n_planes: int) -> str:
+    return (
+        "pl AS (SELECT t, p, list(w ORDER BY d) AS wl FROM ("
+        "SELECT tt.t, pp.p, dd.d, "
+        "(('0x' || substr(md5('plane:' || tt.t || ':' || pp.p || ':' || dd.d), 1, 8))::BIGINT"
+        " - 2147483648) AS w "
+        f"FROM (SELECT unnest(range({n_tables})) AS t) tt, "
+        f"(SELECT unnest(range({n_planes})) AS p) pp, "
+        f"(SELECT unnest(range({_LSH_DIM})) AS d) dd) GROUP BY t, p)"
+    )
+
+
+_LSH_PLANES = _lsh_planes(_LSH_N_TABLES, _LSH_N_PLANES)
 
 _LSH_CODES = (
     "eq AS (SELECT vec_id, list_transform(embedding, x -> "
@@ -160,6 +166,27 @@ _LSH_CODES = (
     " > 0 THEN (1::BIGINT << pl.p) ELSE 0 END)::BIGINT AS code "
     "FROM eq CROSS JOIN pl GROUP BY eq.vec_id, pl.t)"
 )
+
+
+def _ann_lsh_sql(n_tables: int, n_planes: int, hamming: int) -> str:
+    """The full ANN-LSH oracle at a given parameterization (the probe
+    expansion is equivalent to a Hamming-ball join on the codes)."""
+    return (
+        f"WITH {_lsh_planes(n_tables, n_planes)}, {_LSH_CODES}, "
+        "qc AS (SELECT vec_id AS query_id, t, code FROM codes WHERE vec_id IN (0,1,2,3,4)), "
+        "cands AS (SELECT DISTINCT qc.query_id, c.vec_id AS neighbor_id "
+        f"FROM codes c JOIN qc ON c.t = qc.t AND bit_count(xor(c.code, qc.code)) <= {hamming} "
+        "WHERE c.vec_id <> qc.query_id), "
+        "scored AS (SELECT cands.query_id, cands.neighbor_id, "
+        + _cos("qe.embedding", "ne.embedding")
+        + " AS cos FROM cands "
+        "JOIN embeddings qe ON qe.vec_id = cands.query_id "
+        "JOIN embeddings ne ON ne.vec_id = cands.neighbor_id), "
+        "r2 AS (SELECT query_id, neighbor_id, cos, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored) "
+        "SELECT query_id, neighbor_id, rank, floor(cos * 1000000)::BIGINT AS cosine_micro "
+        "FROM r2 WHERE rank <= 10"
+    )
 
 
 def _dot(a: str, b: str) -> str:
@@ -299,20 +326,11 @@ def oracle_sql() -> dict[str, str]:
         "JOIN embeddings qb ON qb.vec_id = id_b) "
         "SELECT id_a, id_b, floor(cos * 1000000)::BIGINT AS cosine_micro "
         "FROM ver WHERE cos >= 0.4",
-        "ann_lsh": f"WITH {_LSH_PLANES}, {_LSH_CODES}, "
-        "qc AS (SELECT vec_id AS query_id, t, code FROM codes WHERE vec_id IN (0,1,2,3,4)), "
-        "cands AS (SELECT DISTINCT qc.query_id, c.vec_id AS neighbor_id "
-        "FROM codes c JOIN qc ON c.t = qc.t AND bit_count(xor(c.code, qc.code)) <= 2 "
-        "WHERE c.vec_id <> qc.query_id), "
-        "scored AS (SELECT cands.query_id, cands.neighbor_id, "
-        + _cos("qe.embedding", "ne.embedding")
-        + " AS cos FROM cands "
-        "JOIN embeddings qe ON qe.vec_id = cands.query_id "
-        "JOIN embeddings ne ON ne.vec_id = cands.neighbor_id), "
-        "r2 AS (SELECT query_id, neighbor_id, cos, row_number() OVER ("
-        "PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored) "
-        "SELECT query_id, neighbor_id, rank, floor(cos * 1000000)::BIGINT AS cosine_micro "
-        "FROM r2 WHERE rank <= 10",
+        "ann_lsh": _ann_lsh_sql(_LSH_N_TABLES, _LSH_N_PLANES, hamming=2),
+        # auto_lsh_params at the sf0.01 gate (n=500 embeddings):
+        # planes lo-clamp to 4, tables 8, probes 3 ⇒ Hamming-≤2 ball —
+        # the oracle pins the parameterization the engine derives
+        "ann_lsh_auto": _ann_lsh_sql(8, 4, hamming=2),
         # ----- multimodal (stub decode is deterministic md5 math — fully
         # oracle-expressible; payload is the utf-8 bytes of text, so
         # DuckDB's md5/strlen over the VARCHAR see identical bytes)

@@ -314,6 +314,20 @@ def q_ann_lsh(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_ann_lsh_auto(spark, sf_dir):
+    """ANN with fully AUTO parameters: (n_planes, n_tables, n_probes)
+    derived from the corpus size via ``auto_lsh_params`` (the random-
+    hyperplane recall model).  The ``count()`` here stands in for the
+    catalog row-count metadata a real deployment would read — the demo
+    tables are plain parquet without a catalog entry."""
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    out = similarity.lsh_bucket_ann(
+        emb, ANN_QUERY_IDS, k=10, dim=64, n_planes=None, n_tables=None, n_vectors=n
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def q_embed_near_dup(spark, sf_dir):
     # embedding-cosine near-dup (dedup family): sign-LSH banded
     # candidates verified by exact cosine ≥ 0.4
