@@ -37,6 +37,7 @@ HEADLINE = [
     ("lang_id", Q.q_lang_id),
     ("ann_topk", Q.q_ann_topk),
     ("ann_lsh", Q.q_ann_lsh),
+    ("ann_lsh_auto", Q.q_ann_lsh_auto),
     ("embed_near_dup", Q.q_embed_near_dup),
     ("multimodal_features", Q.q_multimodal_features),
 ]
