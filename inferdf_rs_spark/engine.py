@@ -12,7 +12,6 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from .operators.conclude import Concluded, conclude, merge_concluded
 from .operators.fixpoint import FixpointResult, fixpoint

@@ -25,7 +25,6 @@ from ..caches import CheckpointTracker, unpersist_rdd_ids
 from ..rules import Rule
 from ..schemas import (
     ERR_INVALID_LITERAL,
-    ERR_NONE,
     KIND_LITERAL,
     TRIPLE_KEY,
     VT_ANY,

@@ -135,3 +135,57 @@ def test_pr_vs_sequentially_minted_reference(spark):
     )
     p, rcl = pr_score(res.store, expected.triples, res.terms, expected.terms)
     assert p == 1.0 and rcl == 1.0
+
+
+def test_eq_closure_matches_union_find_property(spark):
+    """Property: on arbitrary small edge lists the distributed
+    hook+pointer-jump closure produces exactly the min-label component
+    mapping of a driver-side union-find (the obvious sequential
+    reference).  Catches wrong-convergence bugs (under-merging at the
+    round horizon, jump/hook interaction) that fixed fixtures miss."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from inferdf_rs_spark.caches import persistent_rdd_ids, unpersist_rdd_ids
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 40), st.integers(0, 40)),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def check(pairs):
+        # driver-side union-find over nodes with ≥1 non-self edge
+        # (eq_closure drops pure self-loops — nothing to merge)
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        real = [(a, b) for a, b in pairs if a != b]
+        for a, b in real:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = {x for e in real for x in e}
+        want = {x: find(x) for x in nodes}
+        # canonicalize reference to component minimum
+        comp_min: dict[int, int] = {}
+        for x in nodes:
+            r = find(x)
+            comp_min[r] = min(comp_min.get(r, x), x)
+        want = {x: comp_min[find(x)] for x in nodes}
+
+        before = persistent_rdd_ids(spark)
+        df = spark.createDataFrame(pairs or [(0, 0)], "a bigint, b bigint")
+        got = {r.term_id: r.res for r in eq_closure(df, max_iter=30).collect()}
+        unpersist_rdd_ids(spark, persistent_rdd_ids(spark) - before)
+        assert got == want, f"pairs={pairs}"
+
+    check()
