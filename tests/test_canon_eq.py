@@ -189,3 +189,47 @@ def test_eq_closure_matches_union_find_property(spark):
         assert got == want, f"pairs={pairs}"
 
     check()
+
+
+def test_graph_signature_isomorphism_property(spark):
+    """Property: the WL-based graph signature is invariant under ANY
+    renaming of blank-node labels on arbitrary random small graphs, and
+    (on these fixtures) separates a graph from one with an extra edge.
+    Randomized structure catches refinement-depth corner cases (cycles,
+    twins, disconnected parts) that the fixed isomorphism tests miss."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    preds = [iri(EX + p) for p in ("p", "q")]
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 7), st.integers(0, 1), st.integers(0, 7)),
+            min_size=1,
+            max_size=14,
+            unique=True,
+        ),
+        st.permutations(list(range(8))),
+    )
+    def check(edges, perm):
+        g1 = build_dataset(
+            spark, [(blank(f"n{s}"), preds[p], blank(f"n{o}")) for s, p, o in edges]
+        )
+        # rename every blank through a random permutation (+ new names)
+        g2 = build_dataset(
+            spark,
+            [(blank(f"m{perm[s]}"), preds[p], blank(f"m{perm[o]}")) for s, p, o in edges],
+        )
+        sig1 = graph_signature(g1.triples, g1.terms)
+        assert sig1 == graph_signature(g2.triples, g2.terms), f"edges={edges} perm={perm}"
+        # adding a fresh edge must change the signature
+        s0, p0, o0 = edges[0]
+        extra = (blank("zz_new"), preds[1 - p0], blank(f"n{s0}"))
+        g3 = build_dataset(
+            spark,
+            [(blank(f"n{s}"), preds[p], blank(f"n{o}")) for s, p, o in edges] + [extra],
+        )
+        assert sig1 != graph_signature(g3.triples, g3.terms), f"edges={edges}"
+
+    check()
