@@ -2,7 +2,14 @@
 local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Every query is forced through the noop sink (full computation, no
+Variance control (round 5): each query gets ONE untimed warmup pass
+(JIT + shuffle-service + fixture-encode first-touch) followed by
+``SPARK_GRAFT_BENCH_REPS`` timed passes (default 3).  ``queries``
+reports the per-query MEDIAN; ``spread`` reports [min, max] so a
+reader can tell a real regression from run-to-run noise.  Set
+``SPARK_GRAFT_BENCH_REPS=1`` to reproduce the old single-shot harness.
+
+Every pass is forced through the noop sink (full computation, no
 column-pruned shortcut counts).  ``docs_per_sec`` reports extraction+
 pipeline throughput on the documents table (the north-star unit).
 """
@@ -11,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -50,17 +58,24 @@ def run_noop(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     spark = get_spark(app_name="inferdf_bench")
 
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
 
     per_query: dict[str, float] = {}
-    t_total0 = time.perf_counter()
+    spread: dict[str, list[float]] = {}
     for name, fn in HEADLINE:
-        t0 = time.perf_counter()
-        run_noop(fn(spark, sf_dir))
-        per_query[name] = round(time.perf_counter() - t0, 3)
-    total = time.perf_counter() - t_total0
+        if reps > 1:
+            run_noop(fn(spark, sf_dir))  # warmup, untimed
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            run_noop(fn(spark, sf_dir))
+            times.append(time.perf_counter() - t0)
+        per_query[name] = round(statistics.median(times), 3)
+        spread[name] = [round(min(times), 3), round(max(times), 3)]
+    total = sum(per_query.values())
 
     # docs/sec over the document-centric pipeline stages (extraction-side
     # ops: dedup + text stats + mentions-KG build+scan)
@@ -84,6 +99,9 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": per_query,
+                "spread": spread,
+                "reps": reps,
+                "warmup": 1 if reps > 1 else 0,
                 "sf": float(sf),
                 "n_docs": n_docs,
                 "docs_per_sec": docs_per_sec,

@@ -62,17 +62,22 @@ class CheckpointTracker:
             return self._run(lambda: df.localCheckpoint(eager=eager, storageLevel=storage_level))
         return self._run(lambda: df.localCheckpoint(eager=eager))
 
-    def persist(self, df: DataFrame, storage_level) -> tuple[DataFrame, set[int]]:
+    def persist(self, df: DataFrame, storage_level) -> tuple[DataFrame, set[int], int]:
         """persist + materialize (count) so the cached RDD registers
         inside the tracked window — Dataset.persist alone is lazy and its
-        RDD id only appears at first materialization."""
+        RDD id only appears at first materialization.  Returns
+        (persisted df, created ids, row count): the materializing count
+        is surfaced so callers never pay a second count job for it."""
+        n = 0
 
         def go():
+            nonlocal n
             out = df.persist(storage_level)
-            out.count()
+            n = out.count()
             return out
 
-        return self._run(go)
+        out, created = self._run(go)
+        return out, created, n
 
     def release(self, ids=None, blocking: bool = False) -> None:
         """Unpersist the given ids (default: everything tracked)."""

@@ -46,6 +46,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import terms as _terms_mod
 from ..caches import CheckpointTracker, unpersist_rdd_ids
 from ..rules import Rule
 from ..schemas import CAUSE_ENTAILED, TRIPLE_KEY, TERMS_SCHEMA, TRIPLES_SCHEMA
@@ -138,15 +139,26 @@ def _slot_can_feed(sp, const_ids: dict, pos_ps: set, neg_ps: set) -> bool:
 
 
 def _dispatch_rules(
-    rules: list[Rule], const_ids: dict, delta: DataFrame | None
+    rules: list[Rule],
+    const_ids: dict,
+    delta: DataFrame | None,
+    delta_ps: set | None = None,
 ) -> list[tuple[int, Rule]]:
-    """J3: prune rules no delta triple can feed (full-store rounds run all)."""
+    """J3: prune rules no delta triple can feed (full-store rounds run all).
+
+    ``delta_ps``: the delta's distinct {(p, sign)} set when the caller
+    already knows it — the fixpoint loop folds it into the per-round
+    stats aggregate, so steady-state rounds dispatch with ZERO extra
+    Spark actions.  ``None`` falls back to a one-off distinct probe
+    (first seeded round / checkpoint resume)."""
     indexed = list(enumerate(rules))
     if delta is None or len(rules) < 2:
         return indexed
-    dps = delta.select("p", "sign").distinct().collect()
-    pos_ps = {r.p for r in dps if r.sign}
-    neg_ps = {r.p for r in dps if not r.sign}
+    if delta_ps is None:
+        dps = delta.select("p", "sign").distinct().collect()
+        delta_ps = {(r.p, r.sign) for r in dps}
+    pos_ps = {p for p, sg in delta_ps if sg}
+    neg_ps = {p for p, sg in delta_ps if not sg}
     return [
         (i, r)
         for i, r in indexed
@@ -195,6 +207,7 @@ def fixpoint(
     store_broadcast_rows: int = 2_000_000,
     initial_delta: DataFrame | None = None,
     allow_partial: bool = False,
+    store_rows: int | None = None,
 ) -> FixpointResult:
     """Run deduce→insert to fixpoint (U3/U4 + J2/J3).
 
@@ -223,6 +236,12 @@ def fixpoint(
     exhausted before the delta empties (a silent non-fixpoint is an
     incomplete closure, i.e. a wrong result); pass True to accept the
     partial store.
+    ``store_rows``: the input store's row count when the caller already
+    knows it (catalog / ``graph_meta.json`` sidecar metadata) — skips
+    the initial driver-side ``count()``; in the large regime the input
+    is then partitioned directly (no transient Dataset-level persist),
+    so a 100 TB store is never counted or double-buffered just to pick
+    the join regime.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -244,8 +263,8 @@ def fixpoint(
             os.makedirs(checkpoint_dir, exist_ok=True)
             store.write.mode("overwrite").parquet(os.path.join(checkpoint_dir, "base"))
             terms.write.mode("overwrite").parquet(os.path.join(checkpoint_dir, "terms_base"))
-            _write_meta(checkpoint_dir, {"round": 0, "done": False})
-            meta = {"round": 0, "done": False}
+            meta = {"round": 0, "done": False, "id_bits": _terms_mod.ID_BITS}
+            _write_meta(checkpoint_dir, meta)
         st, tm, dl, eqs_c, trues_c, metrics_c = load_checkpoint(spark, checkpoint_dir)
         store, terms, delta = st, tm, dl
         eqs, trues = eqs_c, trues_c
@@ -318,23 +337,40 @@ def fixpoint(
     # the persisted copy is transient (unpersisted once the partitioned
     # piece exists) so the storage pool holds ONE copy of the store, not
     # two — double-buffering 38M+ rows was measured to push the pool into
-    # eviction thrash and slow every later scan
-    base, base_ids = tracker.persist(store, StorageLevel.MEMORY_AND_DISK_DESER)
-    store_rows = base.count()  # cached — the tracked persist materialized it
-    large = store_rows > store_broadcast_rows
-    if large:
-        # _piece (AQE off for partitioning capture) reshuffles cached blocks
-        pc0, ids0 = _piece(base, big=True)
-        pieces, piece_idsets = [pc0], [ids0]
-        base.unpersist()
-        tracker.ids -= base_ids
+    # eviction thrash and slow every later scan.  When the caller passed
+    # ``store_rows`` catalog metadata AND the store is large, skip both
+    # the count and the transient persist: the partitioning shuffle
+    # materializes the input exactly once (the input plan is typically a
+    # bare scan there — a materialized graph read back from parquet).
+    base = None
+    base_live = False
+    if store_rows is not None:
+        n_store = store_rows
+        large = n_store > store_broadcast_rows
+        if large:
+            pc0, ids0 = _piece(store, big=True)
+            pieces, piece_idsets = [pc0], [ids0]
+        else:
+            base, base_ids, _ = tracker.persist(store, StorageLevel.MEMORY_AND_DISK_DESER)
+            pieces, piece_idsets = [base], [base_ids]
+            base_live = True
     else:
-        pieces, piece_idsets = [base], [base_ids]
-    # True while the Dataset-level persist of the input store is live:
+        # n_store comes from the persist's own materializing count — one job
+        base, base_ids, n_store = tracker.persist(store, StorageLevel.MEMORY_AND_DISK_DESER)
+        large = n_store > store_broadcast_rows
+        if large:
+            # _piece (AQE off for partitioning capture) reshuffles cached blocks
+            pc0, ids0 = _piece(base, big=True)
+            pieces, piece_idsets = [pc0], [ids0]
+            base.unpersist()
+            tracker.ids -= base_ids
+        else:
+            pieces, piece_idsets = [base], [base_ids]
+            base_live = True
+    # base_live: the Dataset-level persist of the input store is live —
     # it must be released via base.unpersist() (drops the CacheManager
     # entry too) — release-by-RDD-id alone leaves a storage-level-NONE
     # InMemoryRelation that later scans matching the plan recompute through
-    base_live = not large
     terms = _ckpt(terms)
     if delta is not None:
         delta = _ckpt(delta)
@@ -355,6 +391,10 @@ def fixpoint(
     # blocks kept alive one extra round because the delta still reads
     # them after their piece was compacted away (released next round)
     carry_release: set = set()
+    # the delta's distinct {(p, sign)} set, folded into the previous
+    # round's stats aggregate — None (first seeded round / resume) makes
+    # _dispatch_rules fall back to a one-off distinct probe
+    delta_ps: set | None = None
     # A checkpoint resumed at start_round > 0 with meta done=False is NOT
     # converged — if it already sits at max_rounds the loop never runs and
     # the allow_partial contract below must still fire.
@@ -363,7 +403,7 @@ def fixpoint(
         rnd += 1
         scan_store = store_union()
         _t0 = _time.perf_counter()
-        active = _dispatch_rules(rules, const_ids, delta)
+        active = _dispatch_rules(rules, const_ids, delta, delta_ps)
         c = _deduce_round(spark, scan_store, terms, active, const_ids, delta, rnd, functions)
 
         deduced = c.triples if insert_negatives else c.triples.filter(F.col("sign"))
@@ -422,35 +462,53 @@ def fixpoint(
         staged_ids: set = set()
         if large:
             staged = staged.persist(StorageLevel.MEMORY_AND_DISK_DESER)
-            staged.count()
         else:
             staged, staged_ids = tracker.checkpoint(staged)
+
+        # ONE driver action per round for all round stats: new-fact count,
+        # strict-error probe, and the NEXT round's dispatch predicate set
+        # — previously three separate jobs (count + limit(1).collect +
+        # next round's distinct probe).  The aggregate runs over the
+        # checkpointed blocks (small regime) or materializes the persist
+        # (large regime); collect_set is bounded by the delta's distinct
+        # (predicate, sign) count — the same bound the old distinct probe
+        # carried (web-KG predicate vocabularies are small).
+        is_fact = (F.col("err") == 0) if check_errors else F.lit(True)
+        agg_cols = [
+            F.count(F.when(is_fact, 1)).alias("n_new"),
+            F.collect_set(F.when(is_fact, F.struct("p", "sign"))).alias("dps"),
+        ]
         if check_errors:
-            bad = staged.filter(F.col("err") > 0).limit(1).collect()
-            if bad:
-                # error path: release every cache/checkpoint this run
-                # created — a long-running caller that catches
-                # ExpressionError per batch (streaming) must not leak one
-                # store copy per failure
-                if large:
-                    staged.unpersist()
-                tracker.release()
-                if base_live:
-                    base.unpersist()
-                raise ExpressionError(
-                    f"expression error in round {rnd}: err={bad[0].err} "
-                    f"rule_id={bad[0].rule_id} subst_hash={bad[0].subst_hash}"
-                )
-            new_src = staged.filter(F.col("err") == 0).drop("err")
-        else:
-            new_src = staged
+            agg_cols.append(
+                F.min(
+                    F.when(F.col("err") > 0, F.struct("err", "rule_id", "subst_hash"))
+                ).alias("bad")
+            )
+        stats = staged.agg(*agg_cols).collect()[0]
+        if check_errors and stats["bad"] is not None:
+            # error path: release every cache/checkpoint this run
+            # created — a long-running caller that catches
+            # ExpressionError per batch (streaming) must not leak one
+            # store copy per failure
+            bad = stats["bad"]
+            if large:
+                staged.unpersist()
+            tracker.release()
+            if base_live:
+                base.unpersist()
+            raise ExpressionError(
+                f"expression error in round {rnd}: err={bad.err} "
+                f"rule_id={bad.rule_id} subst_hash={bad.subst_hash}"
+            )
+        new_src = staged.filter(F.col("err") == 0).drop("err") if check_errors else staged
         if large:
             new, new_ids = _piece(new_src, big=last_new > delta_disk_threshold)
             staged.unpersist()
         else:
             new = new_src  # (a filter over) checkpointed narrow blocks
             new_ids = staged_ids
-        n_new = new.count()
+        n_new = int(stats["n_new"])
+        delta_ps = {(r.p, r.sign) for r in stats["dps"]}
         last_new = n_new
         new_full = _attach_lineage(new, rnd)
         if debug_timing:
@@ -512,14 +570,17 @@ def fixpoint(
                 round_trues.write.mode("overwrite").parquet(
                     os.path.join(checkpoint_dir, f"trues/round={rnd}")
                 )
-            _write_meta(checkpoint_dir, {"round": rnd, "done": done, "metrics": metrics})
+            _write_meta(
+                checkpoint_dir,
+                {"round": rnd, "done": done, "metrics": metrics, "id_bits": _terms_mod.ID_BITS},
+            )
 
         if done:
             break
-        store_rows += n_new
+        n_store += n_new
         pieces.append(new_full)
         piece_idsets.append(new_ids)
-        if (not large and store_rows > store_broadcast_rows) or (
+        if (not large and n_store > store_broadcast_rows) or (
             large and len(pieces) > compact_pieces
         ):
             # crossed the broadcastable horizon (one store-size exchange,
@@ -561,13 +622,23 @@ def fixpoint(
 
 def load_checkpoint(spark: SparkSession, checkpoint_dir: str):
     """Rebuild fixpoint state from a checkpoint dir (resume path).
-    Schemas follow the active id width (``terms.set_id_bits``) — a
-    checkpoint must be resumed at the width it was written with."""
+    Schemas follow the active id width (``terms.set_id_bits``); the meta
+    file records the width the checkpoint was WRITTEN with, and resuming
+    at any other width raises instead of silently misreading the parquet
+    (a 128-bit decimal store read through a bigint schema fails per-row,
+    not per-job)."""
     from ..terms import terms_schema, triples_schema
 
     meta = read_meta(checkpoint_dir)
     if meta is None:
         raise FileNotFoundError(f"no checkpoint at {checkpoint_dir}")
+    written_bits = meta.get("id_bits", 64)
+    if written_bits != _terms_mod.ID_BITS:
+        raise ValueError(
+            f"checkpoint at {checkpoint_dir} was written with id_bits="
+            f"{written_bits} but the session is at id_bits={_terms_mod.ID_BITS} "
+            f"— call terms.set_id_bits({written_bits}) before resuming"
+        )
     store = spark.read.schema(triples_schema()).parquet(os.path.join(checkpoint_dir, "base"))
     terms = spark.read.schema(terms_schema()).parquet(os.path.join(checkpoint_dir, "terms_base"))
     eqs = spark.createDataFrame([], EQS_SCHEMA)

@@ -662,3 +662,134 @@ def test_rule_dedup(spark):
     )
     sysm = System(spark, [r, r])
     assert len(sysm.rules) == 1
+
+
+def _tc_rule():
+    return rule(
+        variables=3,
+        hypothesis=[
+            pat("+", v(0), iri(EX + "anc"), v(1)),
+            pat("+", v(1), iri(EX + "anc"), v(2)),
+        ],
+        statements=[stmt_triple("+", v(0), iri(EX + "anc"), v(2))],
+    )
+
+
+def test_fixpoint_round_action_budget(spark, monkeypatch):
+    """Round-5 driver-overhead contract: after setup (input-store persist
+    count + terms checkpoint), a no-minting round costs exactly TWO driver
+    actions — the delta materialization (eager localCheckpoint) and ONE
+    stats aggregate folding n_new, the strict-error probe and the next
+    round's dispatch predicate set.  Previously each round also paid a
+    ``new.count()``, a ``limit(1).collect()`` error probe and the next
+    round's ``distinct().collect()`` dispatch probe — fixed per-round
+    driver cost that a 100-round sameAs closure at web scale pays 100x."""
+    import pyspark.sql.classic.dataframe as dfmod
+
+    chain = [(blank(str(i)), iri(EX + "anc"), blank(str(i + 1))) for i in range(5)]
+    other = [(blank("x"), iri(EX + "other"), blank("y"))]
+    ds = build_dataset(spark, chain + other)
+    r_other = rule(
+        variables=2,
+        hypothesis=[pat("+", v(0), iri(EX + "other"), v(1))],
+        statements=[stmt_triple("+", v(1), iri(EX + "other2"), v(0))],
+    )
+    # two rules so the per-delta dispatch path (the old third action) runs
+    sysm = System(spark, [_tc_rule(), r_other])
+    sysm.const_ids()  # pre-encode constants outside the counted window
+
+    actions: list[str] = []
+    orig_count = dfmod.DataFrame.count
+    orig_collect = dfmod.DataFrame.collect
+    orig_ckpt = dfmod.DataFrame.localCheckpoint
+
+    monkeypatch.setattr(
+        dfmod.DataFrame, "count", lambda self: (actions.append("count"), orig_count(self))[1]
+    )
+    monkeypatch.setattr(
+        dfmod.DataFrame,
+        "collect",
+        lambda self: (actions.append("collect"), orig_collect(self))[1],
+    )
+
+    def _ckpt(self, eager=True, storageLevel=None):
+        if eager:
+            actions.append("ckpt")
+        if storageLevel is None:
+            return orig_ckpt(self, eager=eager)
+        return orig_ckpt(self, eager=eager, storageLevel=storageLevel)
+
+    monkeypatch.setattr(dfmod.DataFrame, "localCheckpoint", _ckpt)
+
+    res = sysm.fixpoint(ds)
+    n_actions = len(actions)
+    monkeypatch.undo()
+    assert res.store.count() == 17  # 15 anc closure + other + other2
+    # setup = persist-count + terms checkpoint; then 2 actions per round
+    assert n_actions == 2 + 2 * res.rounds, actions
+
+
+def test_fixpoint_store_rows_metadata_skips_count(spark, monkeypatch):
+    """Catalog-metadata path: when the caller passes ``store_rows`` (from
+    a graph_meta.json sidecar / table catalog) the large-regime fixpoint
+    never runs a driver ``count()`` over the input store — at 100 TB the
+    count alone is a full-scan job."""
+    import pyspark.sql.classic.dataframe as dfmod
+
+    chain = [(blank(str(i)), iri(EX + "anc"), blank(str(i + 1))) for i in range(5)]
+    ds = build_dataset(spark, chain)
+    sysm = System(spark, [_tc_rule()])
+    sysm.const_ids()
+
+    counts: list[int] = []
+    orig_count = dfmod.DataFrame.count
+    monkeypatch.setattr(
+        dfmod.DataFrame, "count", lambda self: (counts.append(1), orig_count(self))[1]
+    )
+    res = sysm.fixpoint(ds, store_broadcast_rows=0, compact_pieces=2, store_rows=5)
+    n_counts = len(counts)
+    monkeypatch.undo()
+    got = sorted(map(tuple, res.store.select("s", "p", "o").collect()))
+    assert len(got) == 15
+    assert n_counts == 0, "metadata-provided store_rows must skip the input count"
+    res.release()
+
+
+def test_fixpoint_checkpoint_resume_id_bits_128(spark, tmp_path):
+    """North-rule resumability at the 128-bit id width: the checkpoint
+    meta records id_bits; resuming at the written width reaches the
+    identical closure, resuming at any other width raises loudly instead
+    of misreading decimal parquet through a bigint schema."""
+    import json
+    import os
+
+    from inferdf_rs_spark.operators.fixpoint import load_checkpoint
+    from inferdf_rs_spark.terms import id_bits
+
+    d1 = str(tmp_path / "ckpt128")
+    chain = [(blank(str(i)), iri(EX + "anc"), blank(str(i + 1))) for i in range(5)]
+    with id_bits(128):
+        ds = build_dataset(spark, chain)
+        sysm = System(spark, [_tc_rule()])
+        full = sysm.fixpoint(ds, checkpoint_dir=d1)
+        full_facts = sorted(map(tuple, full.store.select("s", "p", "o").collect()))
+        assert len(full_facts) == 15
+
+        # simulate a crash after round 1
+        meta_path = os.path.join(d1, "meta.json")
+        with open(meta_path) as f:
+            meta = json.load(f)
+        assert meta["done"] and meta["id_bits"] == 128
+        meta.update({"round": 1, "done": False, "metrics": meta["metrics"][:1]})
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
+
+    # width mismatch: session back at 64-bit ids must refuse to resume
+    with pytest.raises(ValueError, match="id_bits"):
+        load_checkpoint(spark, d1)
+
+    with id_bits(128):
+        resumed = sysm.fixpoint(ds, checkpoint_dir=d1)
+        got = sorted(map(tuple, resumed.store.select("s", "p", "o").collect()))
+        assert got == full_facts
+        assert resumed.rounds == full.rounds
