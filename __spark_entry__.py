@@ -141,6 +141,17 @@ _BANDS = (
 # mask expansion) and re-rank candidates by exact cosine.
 _LSH_N_TABLES = 8
 _LSH_N_PLANES = 8
+
+# ann_lsh_auto oracle parameters: derived from the engine's own model at
+# the driver gate's corpus size (sf0.01 ⇒ 500 embeddings), so the oracle
+# can never silently diverge from auto_lsh_params defaults
+from inferdf_rs_spark.operators.similarity import auto_lsh_params as _auto_lsh_params  # noqa: E402
+
+_AUTO_PLANES, _AUTO_TABLES, _AUTO_PROBES = _auto_lsh_params(500)
+assert (_AUTO_PLANES, _AUTO_TABLES, _AUTO_PROBES) == (4, 8, 3), (
+    "auto_lsh_params defaults drifted — regenerate the ann_lsh_auto oracle "
+    f"for {(_AUTO_PLANES, _AUTO_TABLES, _AUTO_PROBES)}"
+)
 _LSH_DIM = 64
 
 
@@ -327,10 +338,14 @@ def oracle_sql() -> dict[str, str]:
         "SELECT id_a, id_b, floor(cos * 1000000)::BIGINT AS cosine_micro "
         "FROM ver WHERE cos >= 0.4",
         "ann_lsh": _ann_lsh_sql(_LSH_N_TABLES, _LSH_N_PLANES, hamming=2),
-        # auto_lsh_params at the sf0.01 gate (n=500 embeddings):
-        # planes lo-clamp to 4, tables 8, probes 3 ⇒ Hamming-≤2 ball —
-        # the oracle pins the parameterization the engine derives
-        "ann_lsh_auto": _ann_lsh_sql(8, 4, hamming=2),
+        # the auto oracle derives its parameterization from the SAME
+        # model call the engine makes at the sf0.01 gate (n=500
+        # embeddings ⇒ planes lo-clamp 4, tables 8, probes 3 ⇒
+        # Hamming-≤2 ball) — parameter drift in auto_lsh_params fails
+        # loudly here instead of reading as an engine hash mismatch
+        "ann_lsh_auto": _ann_lsh_sql(
+            _AUTO_TABLES, _AUTO_PLANES, hamming=_AUTO_PROBES - 1
+        ),
         # ----- multimodal (stub decode is deterministic md5 math — fully
         # oracle-expressible; payload is the utf-8 bytes of text, so
         # DuckDB's md5/strlen over the VARCHAR see identical bytes)

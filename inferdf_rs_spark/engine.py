@@ -31,11 +31,18 @@ class Dataset:
     not as an ad-hoc attribute on the DataFrame — so partition pruning
     survives composition: any ``.filter()``/``.select()`` over
     ``triples`` returns a fresh DataFrame, and a monkey-patched attribute
-    would silently vanish with it."""
+    would silently vanish with it.
+
+    ``n_triples``/``n_terms``: catalog row counts (graph_meta.json
+    sidecar / parquet footers) when known.  Cardinality-only consumers —
+    the fixpoint's broadcast-regime pick, auto-LSH parameter sizing —
+    read these instead of running a count() job over the store."""
 
     triples: DataFrame
     terms: DataFrame
     p_buckets: int | None = None
+    n_triples: int | None = None
+    n_terms: int | None = None
 
 
 def build_dataset(spark: SparkSession, facts: list) -> Dataset:
@@ -131,7 +138,10 @@ class System:
 
     def fixpoint(self, ds: Dataset, **kw) -> FixpointResult:
         """Deduce→insert to fixpoint (the caller-driven loop of
-        src/lib.rs:56-69, run semi-naively)."""
+        src/lib.rs:56-69, run semi-naively).  A dataset opened from a
+        materialized graph carries its catalog row count — threaded
+        through as ``store_rows`` so the loop never counts the input."""
+        kw.setdefault("store_rows", ds.n_triples)
         return fixpoint(
             self.spark, ds.triples, ds.terms, self.rules, self.const_ids(), self.functions, **kw
         )

@@ -142,6 +142,7 @@ def auto_lsh_params(
     max_tables: int = 64,
     lo: int = 4,
     hi: int = 24,
+    probes: int | None = None,
 ) -> tuple[int, int, int]:
     """Joint (n_planes, n_tables, n_probes) from corpus-size METADATA.
 
@@ -159,29 +160,51 @@ def auto_lsh_params(
     — data-side cost is zero), then tables to the smallest count meeting
     ``target_recall``, clamped to ``max_tables`` (data-side cost is
     linear in tables).  Pure driver-side arithmetic — no data probe.
+    ``probes``: pin the probe count instead of auto-growing it — a
+    caller whose match stage probes NO neighboring buckets (the
+    near-dup path matches codes exactly) passes ``probes=1`` so tables
+    are sized from the radius-0 collision probability ``p^planes``;
+    reusing the multiprobe-derived table count there understates the
+    model's target recall.
+
+    On clamp (the computed table count exceeds ``max_tables``) the model
+    recall target is unmet — a ``UserWarning`` reports the achieved
+    model recall so callers are never silently under target.
+
     Validated end-to-end on a 50k-vector clustered fixture
     (tests/test_extensions.py::test_ann_lsh_auto_params_recall_at_scale).
     """
     import math
+    import warnings
 
     planes = auto_n_planes(n_vectors, target_occupancy, lo=lo, hi=hi)
 
-    def q(probes: int) -> float:
-        r = probes - 1
+    def q(n_probes: int) -> float:
+        r = n_probes - 1
         return sum(
             math.comb(planes, h) * p_agree ** (planes - h) * (1 - p_agree) ** h
             for h in range(r + 1)
         )
 
-    probes = 3
-    while probes < max_probes and q(probes) < 0.15:
-        probes += 1
+    if probes is None:
+        probes = 3
+        while probes < max_probes and q(probes) < 0.15:
+            probes += 1
     qq = q(probes)
     if qq >= 1.0:
         tables = 1
     else:
         tables = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - qq))
     tables = max(8, min(max_tables, tables))
+    achieved = 1.0 - (1.0 - qq) ** tables
+    if achieved < target_recall:
+        warnings.warn(
+            f"auto_lsh_params: table count clamped at max_tables={max_tables}; "
+            f"model recall {achieved:.3f} < target {target_recall} "
+            f"(planes={planes}, probes={probes}) — raise max_tables or "
+            f"accept the lower recall",
+            stacklevel=2,
+        )
     return planes, tables, probes
 
 
@@ -250,8 +273,13 @@ def embedding_near_dup_pairs(
     if n_planes is None:
         if n_vectors is None:
             raise ValueError("n_planes=None (auto) requires n_vectors (corpus-size metadata)")
-        if n_tables is None:  # joint auto: recall knob scales with the plane count
-            n_planes, n_tables, _ = auto_lsh_params(n_vectors)
+        if n_tables is None:
+            # joint auto: recall knob scales with the plane count.  This
+            # path matches codes EXACTLY (no bucket probing → Hamming
+            # radius 0), so tables are sized from the radius-0 collision
+            # probability (probes=1) — the multiprobe-derived table count
+            # would understate the model's target recall here
+            n_planes, n_tables, _ = auto_lsh_params(n_vectors, probes=1)
         else:
             n_planes = auto_n_planes(n_vectors)
     elif n_tables is None:

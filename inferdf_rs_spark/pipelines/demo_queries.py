@@ -317,11 +317,14 @@ def q_ann_lsh(spark, sf_dir):
 def q_ann_lsh_auto(spark, sf_dir):
     """ANN with fully AUTO parameters: (n_planes, n_tables, n_probes)
     derived from the corpus size via ``auto_lsh_params`` (the random-
-    hyperplane recall model).  The ``count()`` here stands in for the
-    catalog row-count metadata a real deployment would read — the demo
-    tables are plain parquet without a catalog entry."""
+    hyperplane recall model).  The corpus size comes from the parquet
+    footers (``parquet_row_count`` — the catalog-metadata read a real
+    deployment would do), NOT a Spark count() job: the auto path is
+    driver-probe-free end-to-end."""
+    from ..sources.registry import parquet_row_count
+
     emb = load(spark, sf_dir, "embeddings")
-    n = emb.count()
+    n = parquet_row_count(f"{sf_dir}/embeddings.parquet")
     out = similarity.lsh_bucket_ann(
         emb, ANN_QUERY_IDS, k=10, dim=64, n_planes=None, n_tables=None, n_vectors=n
     )

@@ -351,8 +351,22 @@ def write_graph(
             hconf.unset("mapreduce.fileoutputcommitter.algorithm.version")
         else:
             hconf.set("mapreduce.fileoutputcommitter.algorithm.version", prev_committer)
+    # row counts from the just-written parquet FOOTERS (a catalog-metadata
+    # stand-in: no extra Spark job, no data re-scan) — read_graph surfaces
+    # them on the Dataset so downstream consumers that only need
+    # cardinality (fixpoint broadcast-regime pick, auto-LSH sizing) never
+    # run a count() over the store
+    from ..sources.registry import parquet_row_count
+
     with open(os.path.join(out_dir, "graph_meta.json"), "w") as f:
-        json.dump({"n_p_buckets": n_buckets}, f)
+        json.dump(
+            {
+                "n_p_buckets": n_buckets,
+                "n_triples": parquet_row_count(os.path.join(out_dir, "triples")),
+                "n_terms": parquet_row_count(os.path.join(out_dir, "terms")),
+            },
+            f,
+        )
     if metrics is not None:
         with open(os.path.join(out_dir, "metrics.json"), "w") as f:
             json.dump(metrics, f)
@@ -383,12 +397,20 @@ def read_graph(spark: SparkSession, out_dir: str) -> Dataset:
             "p_bucket", F.lit(None).cast("int")
         )
     p_buckets = None
+    n_triples = n_terms = None
     try:
         with open(os.path.join(out_dir, "graph_meta.json")) as f:
-            p_buckets = json.load(f)["n_p_buckets"]
+            meta = json.load(f)
+        p_buckets = meta["n_p_buckets"]
+        n_triples = meta.get("n_triples")  # absent on pre-r5 layouts
+        n_terms = meta.get("n_terms")
         triples._inferdf_p_buckets = p_buckets
     except FileNotFoundError:
         triples = triples.drop("p_bucket")  # pre-meta layout: no pruning
     return Dataset(
-        triples, spark.read.parquet(os.path.join(out_dir, "terms")), p_buckets=p_buckets
+        triples,
+        spark.read.parquet(os.path.join(out_dir, "terms")),
+        p_buckets=p_buckets,
+        n_triples=n_triples,
+        n_terms=n_terms,
     )

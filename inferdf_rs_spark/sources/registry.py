@@ -18,6 +18,24 @@ from ..engine import Dataset
 from ..schemas import TERMS_SCHEMA, TRIPLES_SCHEMA
 
 
+def parquet_row_count(path: str) -> int:
+    """Catalog-style row count from parquet FOOTERS only — no Spark job,
+    no data scan.  This is the metadata a table catalog (Iceberg/Hive)
+    serves for free; for bare-parquet layouts (the demo tables, a
+    materialized graph directory) the footers are the catalog.  Driver
+    cost is one ~8 KB footer read per file — O(files), not O(rows) —
+    which is how a 10^12-row table's count stays a metadata lookup."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = sorted(_glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    else:
+        files = [path]
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 def iceberg_available(spark: SparkSession) -> bool:
     try:
         spark._jvm.org.apache.iceberg.spark.SparkCatalog  # noqa: B018

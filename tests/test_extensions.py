@@ -407,3 +407,64 @@ def test_streaming_incremental_graph(spark, tmp_path):
     pr = webkg.run_pipeline(spark, all_pages, skip_fidelity=True)
     assert n_stream == pr.n_total
     all_pages.unpersist()
+
+
+def test_auto_lsh_params_probes_override_and_clamp_warning():
+    """ADVICE r4 pair: (a) a no-probe caller (exact code match — Hamming
+    radius 0, the embedding near-dup path) passes ``probes=1`` and gets
+    a table count sized from the radius-0 collision probability
+    p^planes — strictly more tables than the multiprobe path needs at
+    the same target recall; (b) when the computed table count clamps at
+    ``max_tables`` the unmet recall target surfaces as a UserWarning,
+    never silently."""
+    import warnings
+
+    from inferdf_rs_spark.operators import similarity
+
+    p_multi, t_multi, pr_multi = similarity.auto_lsh_params(500)
+    p_one, t_one, pr_one = similarity.auto_lsh_params(500, probes=1)
+    assert p_one == p_multi and pr_one == 1
+    assert t_one > t_multi, "radius-0 sizing must compensate with more tables"
+    # the radius-0 model recall at the chosen table count meets target
+    q0 = (2.0 / 3.0) ** p_one
+    assert 1.0 - (1.0 - q0) ** t_one >= 0.9
+
+    # no warning in the healthy regime
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        similarity.auto_lsh_params(500)
+
+    # hi-clamp regime: planes clamp at 24, tables clamp at 64 and the
+    # model's own recall is below target — must be reported
+    with pytest.warns(UserWarning, match="max_tables"):
+        similarity.auto_lsh_params(10**10)
+
+
+def test_embed_near_dup_joint_auto_uses_radius0_tables(spark):
+    """The joint-auto near-dup path must size tables via probes=1 (it
+    matches codes exactly) — pinned by intercepting the params call."""
+    from inferdf_rs_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3), 1.0, 0.5]) for i in range(40)],
+        "vec_id bigint, embedding array<float>",
+    )
+    seen = {}
+    orig = similarity.auto_lsh_params
+
+    def spy(n_vectors, *a, **kw):
+        out = orig(n_vectors, *a, **kw)
+        seen["args"] = (n_vectors, kw.get("probes"))
+        seen["out"] = out
+        return out
+
+    similarity.auto_lsh_params, _saved = spy, orig
+    try:
+        pairs = similarity.embedding_near_dup_pairs(
+            emb, threshold=0.99, dim=4, n_planes=None, n_tables=None, n_vectors=40
+        )
+        pairs.count()  # force plan execution
+    finally:
+        similarity.auto_lsh_params = _saved
+    assert seen["args"] == (40, 1)
+    assert seen["out"][2] == 1  # probes pinned to 1

@@ -381,3 +381,48 @@ def test_fixpoint_over_materialized_graph(spark, tmp_path):
     assert res.store.count() == 4 * 5 // 2  # closure of the 5-node chain
     assert "p_bucket" not in res.store.columns
     res.release()
+
+
+def test_graph_meta_row_counts_skip_fixpoint_count(spark, tmp_path, monkeypatch):
+    """write_graph records n_triples/n_terms (parquet-footer catalog
+    metadata); read_graph surfaces them on the Dataset; System.fixpoint
+    threads them through as store_rows, so inference over a re-opened
+    graph never runs a driver count() over the input store."""
+    import pyspark.sql.classic.dataframe as dfmod
+
+    from inferdf_rs_spark import System, blank, build_dataset, iri, pat, rule, stmt_triple, v
+    from inferdf_rs_spark.pipelines.webkg import read_graph, write_graph
+
+    EX = "https://example.org/#"
+    ds = build_dataset(
+        spark, [(blank(f"n{i}"), iri(EX + "next"), blank(f"n{i+1}")) for i in range(4)]
+    )
+    out = str(tmp_path / "g")
+    write_graph(ds.triples, ds.terms, out)
+    rg = read_graph(spark, out)
+    assert rg.n_triples == 4
+    assert rg.n_terms == rg.terms.count()
+
+    tc = rule(
+        variables=3,
+        hypothesis=[
+            pat("+", v(0), iri(EX + "next"), v(1)),
+            pat("+", v(1), iri(EX + "next"), v(2)),
+        ],
+        statements=[stmt_triple("+", v(0), iri(EX + "next"), v(2))],
+    )
+    sysm = System(spark, [tc])
+    sysm.const_ids()
+    counts: list[int] = []
+    orig_count = dfmod.DataFrame.count
+    monkeypatch.setattr(
+        dfmod.DataFrame, "count", lambda self: (counts.append(1), orig_count(self))[1]
+    )
+    # store_broadcast_rows=0: the large regime, where an input count is a
+    # full-scan job at web scale — metadata must replace it entirely
+    res = sysm.fixpoint(rg, store_broadcast_rows=0)
+    n_counts = len(counts)
+    monkeypatch.undo()
+    assert res.store.count() == 10
+    assert n_counts == 0
+    res.release()
