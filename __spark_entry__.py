@@ -60,6 +60,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "antijoin_new_facts": Q.q_antijoin_new_facts,
         "fixpoint_tc": Q.q_fixpoint_tc,
         "eq_closure_chain": Q.q_eq_closure_chain,
+        # Eq statements end-to-end: rule-emitted Eq → fixpoint side table
+        # → closure → merged facet view → AmbiguousLiteral surfacing
+        "eq_merge_ambiguity": Q.q_eq_merge_ambiguity,
         "validate_missing": Q.q_validate_missing,
         "compare_filter": Q.q_compare_filter,
         "regex_filter": Q.q_regex_filter,
@@ -226,6 +229,12 @@ def oracle_sql() -> dict[str, str]:
         "FROM orders WHERE o_orderstatus <> 'O'",
         "eq_closure_chain": "SELECT n_nationkey::BIGINT AS term_id, "
         "(SELECT min(n_nationkey) FROM nation)::BIGINT AS res FROM nation",
+        # Eq-merge flow: odd custkeys equate two DIFFERENT decimals
+        # (v, v+1000000) → AmbiguousLiteral; even custkeys self-merge
+        # (single facet) and must emit nothing
+        "eq_merge_ambiguity": "SELECT c_custkey::BIGINT AS val_lo, "
+        "(c_custkey + 1000000)::BIGINT AS val_hi FROM customer "
+        "WHERE c_custkey % 2 = 1",
         # validation: no locatedIn facts are stated, so every deduced
         # conclusion is a MissingTriple violation == the deduction itself
         "validate_missing": "SELECT 'cust://' || c_custkey AS cust_iri, "

@@ -72,7 +72,9 @@ def encode_edges(
     plus optional ``g_lex`` (named-graph iri — reference quads; null or
     absent = default graph) and optional ``sign`` (explicitly-negative
     facts, reference Signed wrapper src/sign.rs:123-129; absent = all
-    positive).
+    positive).  Optional ``s_kind``/``s_dt`` columns generalize the
+    subject position beyond IRIs (the reference's subjects are arbitrary
+    interpreted resources, literals included — src/dataset.rs:13-24).
 
     ``terms``: optionally a pre-built dictionary covering every term in
     the edges — callers that know their term sources (e.g. urls are
@@ -81,9 +83,11 @@ def encode_edges(
     """
     null_s = F.lit(None).cast("string")
     has_g = "g_lex" in edges.columns
+    s_kind = F.col("s_kind") if "s_kind" in edges.columns else F.lit(KIND_IRI)
+    s_dt = F.col("s_dt") if "s_dt" in edges.columns else null_s
     if terms is None:
         terms = (
-            edges.select(F.lit(KIND_IRI).alias("kind"), F.col("s_lex").alias("lexical"), null_s.alias("datatype"))
+            edges.select(s_kind.alias("kind"), F.col("s_lex").alias("lexical"), s_dt.alias("datatype"))
             .unionByName(
                 edges.select(F.lit(KIND_IRI).alias("kind"), F.col("p_lex").alias("lexical"), null_s.alias("datatype"))
             )
@@ -113,7 +117,7 @@ def encode_edges(
         else F.lit(None).cast("long")
     )
     triples = edges.select(
-        term_id_col(F.lit(KIND_IRI), F.col("s_lex"), null_s, null_s).alias("s"),
+        term_id_col(s_kind, F.col("s_lex"), s_dt, null_s).alias("s"),
         term_id_col(F.lit(KIND_IRI), F.col("p_lex"), null_s, null_s).alias("p"),
         term_id_col(F.col("o_kind"), F.col("o_lex"), F.col("o_dt"), null_s).alias("o"),
         (F.col("sign") if "sign" in edges.columns else F.lit(True)).alias("sign"),

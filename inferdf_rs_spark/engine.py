@@ -146,6 +146,37 @@ class System:
             self.spark, ds.triples, ds.terms, self.rules, self.const_ids(), self.functions, **kw
         )
 
+    def fixpoint_merged(self, ds: Dataset, **kw):
+        """Fixpoint, then resolve the accumulated Eq statements the way
+        the reference couples deduction with interpretation merging
+        (src/system/deduction.rs:120-162: each Eq conclusion merges the
+        two resources in the interpretation, and conflicting literal
+        facets on a merged resource surface as AmbiguousLiteral):
+
+            fixpoint → eq_closure over the positive Eq pairs
+                     → rewrite the closed store through the canonical
+                       mapping (apply_eq_mapping)
+                     → re-parse literal facets per canonical resource
+                       (resource_facets with eq_mapping)
+
+        Returns ``(FixpointResult, mapping, merged_triples, facets)``;
+        ambiguity is ``facets.err == ERR_AMBIGUOUS_LITERAL``.  The Spark
+        shape differs from the reference deliberately: merging per-round
+        inside the loop would re-key the whole store every round, so the
+        closure is applied ONCE over the converged store — the final
+        merged graph is the same because Eq is monotone (pairs only
+        accumulate) and pattern matching never reads facet values."""
+        from pyspark.sql import functions as F
+
+        from .operators.eqclosure import apply_eq_mapping, eq_closure
+
+        res = self.fixpoint(ds, **kw)
+        pairs = res.eqs.filter(F.col("sign")).select("a", "b")
+        mapping = eq_closure(pairs)
+        merged = apply_eq_mapping(res.store, mapping)
+        facets = resource_facets(res.terms, eq_mapping=mapping)
+        return res, mapping, merged, facets
+
     # ------------------------------------------------------------ entry 3
     def validate(self, ds: Dataset) -> ValidationResult:
         """System::validate (src/system/mod.rs:188-265): all violations."""

@@ -16,8 +16,8 @@ from ..engine import Dataset, System
 from ..operators import dedup, similarity, textstats
 from ..operators.expr import ExprCompiler, join_facets, statement_facet_vars
 from ..operators.match import find_substitutions
-from ..rules import call, dec, iri, lit, pat, regex, rule, stmt_triple, stmt_true, v
-from ..schemas import VT_BOOL
+from ..rules import call, dec, iri, lit, pat, regex, rule, stmt_eq, stmt_triple, stmt_true, v
+from ..schemas import ERR_AMBIGUOUS_LITERAL, VT_BOOL
 from ..terms import encode_terms, resource_facets
 from . import kg_demo
 from .kg_demo import KG, decode_col, load
@@ -235,6 +235,37 @@ def q_eq_closure_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_nationkey") + 1).cast("long").alias("b"),
     )
     return eq_closure(pairs).select("term_id", "res")
+
+
+def q_eq_merge_ambiguity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eq-statement path END-TO-END (reference couples deduction with
+    interpretation merging, src/system/deduction.rs:120-162): a
+    sameAs-style rule concludes Eq over literal resources → fixpoint
+    accumulates the Eq pairs → min-label closure → the merged facet view
+    re-parses literals per canonical resource — components whose merged
+    DECIMAL facets conflict surface AmbiguousLiteral.  Output: one row
+    per ambiguous component with its (min, max) member value; even-keyed
+    self-merges must stay clean and emit nothing."""
+    ds = kg_demo.samever_dataset(spark, sf_dir)
+    r = rule(
+        variables=2,
+        hypothesis=[pat("+", v(0), iri(KG + "sameVal"), v(1))],
+        statements=[stmt_eq("+", v(0), v(1))],
+    )
+    sysm = System(spark, [r])
+    _res, mapping, _merged, facets = sysm.fixpoint_merged(ds)
+    ambig = facets.filter(F.col("err") == ERR_AMBIGUOUS_LITERAL).select("res")
+    members = mapping.join(ambig, on="res").join(
+        ds.terms.select("term_id", "lexical"), on="term_id"
+    )
+    return (
+        members.groupBy("res")
+        .agg(
+            F.min(F.col("lexical").cast("long")).alias("val_lo"),
+            F.max(F.col("lexical").cast("long")).alias("val_hi"),
+        )
+        .select("val_lo", "val_hi")
+    )
 
 
 # ------------------------------------------------------------ corpus ops

@@ -144,6 +144,35 @@ def _build_orders_signed_dataset(spark: SparkSession, sf_dir: str) -> Dataset:
     return encode_edges(spark, edges)
 
 
+def _build_samever_dataset(spark: SparkSession, sf_dir: str) -> Dataset:
+    """Literal-identity fixture for the Eq-merge flow: for each customer
+    key v the DECIMAL literals "v" and "v'" are asserted kg:sameVal — a
+    sameAs-style equivalence between LITERAL resources (the reference
+    interpretation merges literals like any resource).  Odd v pairs two
+    DIFFERENT decimals (v' = v + 1_000_000, disjoint from every custkey
+    at the tested SFs, so components stay size 2 and the merged facets
+    conflict → AmbiguousLiteral); even v self-asserts (v' = v) — a merge
+    with a single facet, which must stay clean."""
+    cust = load(spark, sf_dir, "customer")
+    v = F.col("c_custkey").cast("long")
+    edges = cust.select(
+        v.cast("string").alias("s_lex"),
+        F.lit(KIND_LITERAL).alias("s_kind"),
+        F.lit(XSD + "decimal").alias("s_dt"),
+        F.lit(KG + "sameVal").alias("p_lex"),
+        F.lit(KIND_LITERAL).alias("o_kind"),
+        F.when(v % 2 == 1, v + 1_000_000).otherwise(v).cast("string").alias("o_lex"),
+        F.lit(XSD + "decimal").alias("o_dt"),
+    )
+    return encode_edges(spark, edges)
+
+
+def samever_dataset(spark: SparkSession, sf_dir: str) -> Dataset:
+    return _cached_dataset(
+        spark, ("samever", sf_dir), lambda: _build_samever_dataset(spark, sf_dir)
+    )
+
+
 def orders_signed_dataset(spark: SparkSession, sf_dir: str) -> Dataset:
     return _cached_dataset(
         spark, ("orders_signed", sf_dir), lambda: _build_orders_signed_dataset(spark, sf_dir)
