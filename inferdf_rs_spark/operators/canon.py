@@ -12,9 +12,10 @@ isomorphic graphs byte-identical after rewriting.
 Algorithm (distributed WL refinement):
 - non-blank resources are self-colored (their ids are content hashes);
 - blank nodes start from one shared color;
-- each round, a blank's color becomes the hash of the sorted multiset
-  of (direction, predicate-color, neighbor-color) over its incident
-  triples;
+- each round, a blank's color becomes a hash of the MULTISET of
+  (direction, predicate-color, neighbor-color) over its incident
+  triples — folded commutatively (sum of per-row hashes + count), so
+  the per-node aggregate is map-side combinable and order-free;
 - O(diameter) rounds; each round is one explode + one groupBy.
 
 Automorphic blanks (truly interchangeable) converge to the same label —
@@ -38,9 +39,17 @@ def canonical_bnode_labels(triples: DataFrame, terms: DataFrame, iterations: int
     incidence list, once the last round has scanned it) are unpersisted
     so the pool holds at most two color generations at any time.  Only
     the final colors — backing the returned labels — stay persisted.
-    Degree note: ``collect_list`` of one blank's incidence multiset is
-    per-node; rule-minted blanks have small bounded degree, but a
-    pathologically high-degree blank would skew its one task.
+
+    Degree skew: the per-node signature is a COMMUTATIVE fold — each
+    incident edge hashes to one int64 and a node's color is
+    ``xxhash64(sum(h), count)`` — so a 10^5-degree hub's rows partial-
+    aggregate map-side like everyone else's; no single task ever
+    materializes one node's whole incidence multiset (the previous
+    ``sort_array(collect_list(...))`` did, and a pathological blank
+    skewed its one task).  Multiset identity: sum+count over 64-bit row
+    hashes accumulated in decimal(38,0); a cross-multiset collision
+    needs the full 2^64 sum AND equal cardinality — the same per-round
+    collision class hash-WL already lives with.
     """
     tracker = CheckpointTracker(triples.sparkSession)
     blanks = terms.filter(F.col("kind") == KIND_BLANK).select("term_id")
@@ -66,14 +75,19 @@ def canonical_bnode_labels(triples: DataFrame, terms: DataFrame, iterations: int
             .join(pc, "p", "left")
             .select(
                 "node",
-                F.struct(
+                F.xxhash64(
                     F.col("dir"),
-                    F.coalesce(F.col("pc"), F.col("p")).alias("pcol"),
-                    F.coalesce(F.col("oc"), F.col("other")).alias("ocol"),
-                ).alias("sig"),
+                    F.coalesce(F.col("pc"), F.col("p")),
+                    F.coalesce(F.col("oc"), F.col("other")),
+                ).alias("h"),
             )
             .groupBy("node")
-            .agg(F.xxhash64(F.sort_array(F.collect_list("sig"))).alias("color"))
+            .agg(
+                F.xxhash64(
+                    F.sum(F.col("h").cast("decimal(38,0)")).cast("string"),
+                    F.count(F.lit(1)),
+                ).alias("color")
+            )
         )
         colors, new_ids = tracker.checkpoint(
             blanks.join(sig.withColumnRenamed("node", "term_id"), "term_id", "left")

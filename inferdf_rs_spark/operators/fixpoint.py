@@ -272,6 +272,11 @@ def fixpoint(
         start_round = meta["round"]
         if meta.get("done"):
             return FixpointResult(store, terms, eqs, trues, start_round, metrics)
+        if store_rows is not None:
+            # caller metadata describes ITS input (= the checkpoint base);
+            # the resumed store also holds every completed round's delta,
+            # whose sizes the meta records — keep the regime pick honest
+            store_rows += sum(m.get("new_facts", 0) for m in metrics)
     else:
         delta = initial_delta  # None ⇒ round 1 = full deduce
 

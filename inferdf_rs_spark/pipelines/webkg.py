@@ -276,7 +276,14 @@ def run_pipeline(
     timings["link_encode"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    res = sysm.fixpoint(Dataset(triples, terms), checkpoint_dir=checkpoint_dir, max_rounds=max_rounds)
+    # n_triples metadata: the loop reuses the stated-layer count above
+    # instead of re-counting (and, in the large regime, skips the
+    # transient double-buffer persist of the already-checkpointed input)
+    res = sysm.fixpoint(
+        Dataset(triples, terms, n_triples=n_stated),
+        checkpoint_dir=checkpoint_dir,
+        max_rounds=max_rounds,
+    )
     n_total = res.store.count()
     timings["fixpoint"] = time.perf_counter() - t0
 
