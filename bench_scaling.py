@@ -149,6 +149,15 @@ def main() -> None:
         thr = {c: results[c]["pages_per_sec"] for c in LEVELS}
         eff = (thr[32] / thr[8]) / (32 / 8)
 
+        # variance-controlled companion number: efficiency from the MEDIAN
+        # of the post-warmup iterations (best-of is the JIT-steady-state
+        # claim; median is robust to a single lucky/unlucky pass)
+        wall_med = {
+            c: results[c].get("wall_sec_median", results[c]["wall_sec"])
+            for c in LEVELS
+        }
+        eff_med = (wall_med[8] / wall_med[32]) / (32 / 8)
+
         # per-stage efficiency: which stages scale with cores and which hit
         # the shared single-socket DRAM bus
         stages = sorted(
@@ -168,10 +177,12 @@ def main() -> None:
         summary = {
             "metric": "scaling_efficiency_8_to_32",
             "value": round(eff, 3),
+            "value_median": round(eff_med, 3),
             "unit": "ratio",
             "n_pages": N_PAGES,
             "throughput": {f"local[{c}]": thr[c] for c in LEVELS},
             "wall_sec": {f"local[{c}]": results[c]["wall_sec"] for c in LEVELS},
+            "wall_sec_median": {f"local[{c}]": wall_med[c] for c in LEVELS},
             "stage_efficiency": stage_eff,
             "membw_gbps": {f"{c}_procs": bw[c] for c in LEVELS},
             "membw_scaling_8_to_32": bw_scaling,
@@ -186,14 +197,20 @@ def main() -> None:
                 "materialize) on the identical synthesized pages input, run via\n"
                 "`spark-submit` in separate JVMs, pinned with `taskset` to exactly\n"
                 "8 vs 32 cores, measured at JIT steady state (best post-warmup iteration of "
-                f"{N_REPEAT} iterations).\n\n"
-                f"| level | pages/sec | wall sec |\n|---|---|---|\n"
-                f"| local[8] | {thr[8]} | {results[8]['wall_sec']} |\n"
-                f"| local[32] | {thr[32]} | {results[32]['wall_sec']} |\n\n"
+                f"{N_REPEAT} iterations; the post-warmup MEDIAN is reported "
+                "alongside for variance control).\n\n"
+                f"| level | pages/sec | wall sec (best) | wall sec (median) |\n"
+                f"|---|---|---|---|\n"
+                f"| local[8] | {thr[8]} | {results[8]['wall_sec']} | {wall_med[8]} |\n"
+                f"| local[32] | {thr[32]} | {results[32]['wall_sec']} | {wall_med[32]} |\n\n"
                 f"- input: {N_PAGES} synthesized pages (deterministic, no external data)\n"
-                f"- **whole-job scaling efficiency (8→32) = {eff:.3f}** "
-                f"(target ≥ 0.8 per BASELINE.json)\n"
-                f"- per-stage efficiency: {json.dumps(stage_eff)}\n\n"
+                f"- **whole-job scaling efficiency (8→32) = {eff:.3f} best-of / "
+                f"{eff_med:.3f} median** (target ≥ 0.8 per BASELINE.json)\n"
+                f"- per-stage efficiency: {json.dumps(stage_eff)}\n"
+                "- scan-layout A/B for the extract stage's scan+decode share: "
+                "see `BENCH_LAYOUT.md` (zstd @128 MB row groups: 3.5x fewer "
+                "bytes than the snappy default at equal scan wall; pure-scan "
+                "efficiency 0.72-0.93 by layout)\n\n"
                 "## Hardware ceiling on this sandbox\n\n"
                 "The two levels share ONE single-socket memory bus, unlike a real\n"
                 "N → 4N **executor** scale-up where aggregate DRAM/shuffle\n"

@@ -55,9 +55,15 @@ class ValidationResult:
     # localCheckpoint blocks backing the per-rule substitutions the
     # violations DataFrame reads — release() once done with the result
     cache_ids: set = field(default_factory=set)
+    # memoized validity probe: the violation joins are cheap reads over
+    # the checkpointed substitutions, but a caller alternating
+    # is_valid()/violations actions shouldn't pay them per call
+    _is_valid: bool | None = field(default=None, repr=False)
 
     def is_valid(self) -> bool:
-        return not self.violations.limit(1).collect()
+        if self._is_valid is None:
+            self._is_valid = not self.violations.limit(1).collect()
+        return self._is_valid
 
     def release(self, blocking: bool = False) -> None:
         """Free the cached substitutions (``violations`` becomes

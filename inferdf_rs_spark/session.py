@@ -61,6 +61,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # zstd over the snappy default: 3.5x fewer bytes on blob-heavy
+        # tables at equal scan wall at both 8 and 32 cores (measured
+        # A/B in BENCH_LAYOUT.md) — at cluster scale scan bytes are
+        # network+disk bandwidth, the binding resource at 100 TB
+        .config("spark.sql.parquet.compression.codec", "zstd")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

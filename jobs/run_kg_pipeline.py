@@ -63,6 +63,9 @@ def main() -> None:
         # (measured at 2M pages, local[8]).
         "spark.sql.ansi.enabled": "false",
         "spark.sql.session.timeZone": "UTC",
+        # zstd graph/checkpoint layout: equal write+scan wall, 3.5x fewer
+        # bytes on blob-heavy tables (BENCH_LAYOUT.md)
+        "spark.sql.parquet.compression.codec": "zstd",
     }.items():
         spark.conf.set(k, value)
     spark.sparkContext.setLogLevel("WARN")

@@ -23,7 +23,13 @@ from inferdf_rs_spark.extraction import synth  # noqa: E402
 def main() -> None:
     n_pages, out = int(sys.argv[1]), sys.argv[2]
     words = int(sys.argv[3]) if len(sys.argv) > 3 else 160  # realistic page text
-    spark = SparkSession.builder.appName("synth_pages").getOrCreate()
+    spark = (
+        SparkSession.builder.appName("synth_pages")
+        # zstd: 3.5x fewer bytes than snappy on this blob-heavy table at
+        # equal scan wall (BENCH_LAYOUT.md) — the ingest-layer layout
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("WARN")
     # 4x the largest parallelism level → good balance at every level
     parts = max(128, n_pages // 25000)
