@@ -63,6 +63,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Eq statements end-to-end: rule-emitted Eq → fixpoint side table
         # → closure → merged facet view → AmbiguousLiteral surfacing
         "eq_merge_ambiguity": Q.q_eq_merge_ambiguity,
+        # provenance: premise reconstruction from narrow lineage
+        # (src/cause.rs Cause/Entailment), one-hop + recursive-to-stated
+        "explain_geo": Q.q_explain_geo,
+        "explain_tc_support": Q.q_explain_tc_support,
         "validate_missing": Q.q_validate_missing,
         "compare_filter": Q.q_compare_filter,
         "regex_filter": Q.q_regex_filter,
@@ -258,6 +262,32 @@ def oracle_sql() -> dict[str, str]:
         "tc(a, b) AS (SELECT a, b FROM e "
         "UNION SELECT tc.a, e.b FROM tc JOIN e ON tc.b = e.a) "
         "SELECT 'n://' || a AS a_iri, 'n://' || b AS b_iri FROM tc",
+        # one-hop provenance: each deduced locatedIn fact has exactly one
+        # derivation (customer->nation->region are functional), so the
+        # winning substitution — and both reconstructed premises — are
+        # deterministic
+        "explain_geo": "SELECT 'cust://' || c_custkey AS cust_iri, "
+        "'region://' || n_regionkey AS region_iri, 0 AS hyp_idx, "
+        "'cust://' || c_custkey AS prem_s_iri, "
+        "'nation://' || c_nationkey AS prem_o_iri "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        "UNION ALL "
+        "SELECT 'cust://' || c_custkey, 'region://' || n_regionkey, 1, "
+        "'nation://' || c_nationkey, 'region://' || n_regionkey "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey",
+        # recursive provenance to stated leaves: ANY derivation of chain
+        # fact (a, b) under the doubling rule bottoms out on exactly the
+        # stated edges in [a, b], so the support set is winner-independent
+        # even though the stored lineage keeps one min-struct derivation
+        "explain_tc_support": "WITH RECURSIVE e(a, b) AS ("
+        "SELECT n_nationkey, n_nationkey + 1 FROM nation "
+        "WHERE n_nationkey < (SELECT max(n_nationkey) FROM nation)), "
+        "tc(a, b) AS (SELECT a, b FROM e "
+        "UNION SELECT tc.a, e.b FROM tc JOIN e ON tc.b = e.a) "
+        "SELECT 'n://' || t.a AS a_iri, 'n://' || t.b AS b_iri, "
+        "'n://' || e.a AS leaf_a_iri, 'n://' || e.b AS leaf_b_iri "
+        "FROM tc t JOIN e ON e.a >= t.a AND e.b <= t.b "
+        "WHERE t.b > t.a + 1",
         "compare_filter": "SELECT 'doc://' || doc_id AS doc_iri FROM documents "
         "WHERE n_chars >= 300",
         "regex_filter": f"WITH {_TOKS4} "

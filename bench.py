@@ -35,6 +35,7 @@ HEADLINE = [
     ("antijoin_new_facts", Q.q_antijoin_new_facts),
     ("fixpoint_tc", Q.q_fixpoint_tc),
     ("eq_closure_chain", Q.q_eq_closure_chain),
+    ("explain_tc_support", Q.q_explain_tc_support),
     ("eq_merge_ambiguity", Q.q_eq_merge_ambiguity),
     ("validate_missing", Q.q_validate_missing),
     ("compare_filter", Q.q_compare_filter),

@@ -156,6 +156,52 @@ def q_fixpoint_tc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_col(out, terms, "o", "b_iri")
 
 
+def q_explain_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance, one hop (reference Cause::Entailed →
+    Entailment{rule, substitution}, src/cause.rs:9-40): every deduced
+    locatedIn fact's two premises, reconstructed from the store's narrow
+    (rule_id, subst_hash) lineage by inverting the rule conclusion."""
+    from ..operators.explain import explain_step
+
+    ds = kg_demo.geo_dataset(spark, sf_dir)
+    sysm = System(spark, [_geo_rule()])
+    res = sysm.fixpoint(ds)
+    edges = explain_step(Dataset(res.store, res.terms), sysm).select(
+        "s", "o", "hyp_idx", "ps", "po"
+    )
+    out = decode_col(edges, res.terms, "s", "cust_iri")
+    out = decode_col(out, res.terms, "o", "region_iri")
+    out = decode_col(out, res.terms, "ps", "prem_s_iri")
+    return decode_col(out, res.terms, "po", "prem_o_iri")
+
+
+def q_explain_tc_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance, recursive (Cause chain to Stated leaves,
+    src/cause.rs:9-15): for every entailed closure fact, the stated
+    facts its stored derivation bottoms out on.  For the doubling TC
+    rule over a chain, any derivation of (a, b) covers exactly the
+    stated edges between a and b — winner-independent, so the stored
+    min-struct lineage walk is fully oracle-checkable."""
+    from ..operators.explain import stated_support
+
+    ds = kg_demo.chain_dataset(spark, sf_dir)
+    r = rule(
+        variables=3,
+        hypothesis=[
+            pat("+", v(0), iri(KG + "next"), v(1)),
+            pat("+", v(1), iri(KG + "next"), v(2)),
+        ],
+        statements=[stmt_triple("+", v(0), iri(KG + "next"), v(2))],
+    )
+    sysm = System(spark, [r])
+    res = sysm.fixpoint(ds)
+    sup = stated_support(Dataset(res.store, res.terms), sysm).select("s", "o", "ls", "lo")
+    out = decode_col(sup, res.terms, "s", "a_iri")
+    out = decode_col(out, res.terms, "o", "b_iri")
+    out = decode_col(out, res.terms, "ls", "leaf_a_iri")
+    return decode_col(out, res.terms, "lo", "leaf_b_iri")
+
+
 def q_compare_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3/F5/F9: typed decimal comparison over literal facets —
     docs with n_chars >= 300 via the expression compiler."""
