@@ -426,3 +426,62 @@ def test_graph_meta_row_counts_skip_fixpoint_count(spark, tmp_path, monkeypatch)
     assert res.store.count() == 10
     assert n_counts == 0
     res.release()
+
+
+def test_explain_over_materialized_graph(spark, tmp_path):
+    """Provenance closes the loop on the north-rule pipeline: open the
+    materialized graph with read_graph and walk EVERY entailed fact's
+    stored lineage back to stated leaves — seeded scans run against the
+    p_bucket-partitioned parquet store (pruned where the pattern binds
+    the predicate), and the walk must bottom out for all four web rules
+    (symmetric/transitive sameAs, mention propagation, typed
+    projection)."""
+    from inferdf_rs_spark.engine import System
+    from inferdf_rs_spark.operators.explain import stated_support
+    from inferdf_rs_spark.schemas import CAUSE_ENTAILED, CAUSE_STATED
+
+    pages = synth.synth_pages(spark, N_PAGES)
+    out_dir = str(tmp_path / "graph")
+    webkg.run_pipeline(spark, pages, out_dir=out_dir, skip_fidelity=True)
+    ds = webkg.read_graph(spark, out_dir)
+    assert ds.p_buckets  # pruning metadata survived the round-trip
+
+    sysm = System(spark, webkg.web_rules())
+    sup = stated_support(ds, sysm)
+
+    # every entailed fact bottoms out on at least one stated leaf
+    ent = ds.triples.filter(F.col("cause_kind") == CAUSE_ENTAILED).select("s", "p", "o", "sign")
+    n_ent = ent.count()
+    assert n_ent > 0
+    explained = sup.select("s", "p", "o", "sign").dropDuplicates()
+    assert explained.count() == n_ent, "some entailed facts have no stated support"
+
+    # every leaf really is a stated store fact
+    stated = ds.triples.filter(F.col("cause_kind") == CAUSE_STATED).select(
+        F.col("s").alias("ls"),
+        F.col("p").alias("lp"),
+        F.col("o").alias("lo"),
+        F.col("sign").alias("lsign"),
+    )
+    orphans = sup.select("ls", "lp", "lo", "lsign").dropDuplicates().join(
+        stated, ["ls", "lp", "lo", "lsign"], "left_anti"
+    )
+    assert orphans.count() == 0
+
+    # typed projection: every mentionsPerson fact's support includes the
+    # rdf:type Person stated fact for its entity
+    from inferdf_rs_spark.terms import encode_terms
+    from inferdf_rs_spark.rules import iri as mk_iri
+
+    ids = encode_terms(
+        spark, [mk_iri(webkg.KG + "mentionsPerson"), mk_iri(RDF_TYPE), mk_iri(synth.TYPE + "Person")]
+    )
+    mp = sup.filter(
+        (F.col("p") == ids[mk_iri(webkg.KG + "mentionsPerson")])
+        & (F.col("lp") == ids[mk_iri(RDF_TYPE)])
+        & (F.col("lo") == ids[mk_iri(synth.TYPE + "Person")])
+        & (F.col("ls") == F.col("o"))
+    )
+    n_mp = ds.triples.filter(F.col("p") == ids[mk_iri(webkg.KG + "mentionsPerson")]).count()
+    assert n_mp > 0 and mp.count() == n_mp
+    sup.unpersist()
