@@ -75,6 +75,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sig": Q.q_minhash_sig,
         "lsh_buckets": Q.q_lsh_buckets,
         "near_dup_pairs": Q.q_near_dup_pairs,
+        # cluster-level dedup: connected components over the pair graph
+        # (reuses the engine's Shiloach-Vishkin eq-closure) + the
+        # deduplicated corpus it induces
+        "dedup_groups": Q.q_dedup_groups,
+        "dedup_corpus": Q.q_dedup_corpus,
         "simhash": Q.q_simhash,
         "ngram_jaccard": Q.q_ngram_jaccard,
         # text analysis
@@ -138,6 +143,32 @@ _BANDS = (
     "bands AS (SELECT doc_id, band, md5(array_to_string("
     "list_transform(sig[band*4+1:band*4+4], x -> x::VARCHAR), ',')) AS bucket "
     "FROM sigs CROSS JOIN (VALUES (0::BIGINT),(1),(2),(3)) b(band))"
+)
+
+# band-collision candidates verified by exact shingle Jaccard — shared by
+# near_dup_pairs and the cluster-level queries built on top of it
+_PAIRS_CTES = (
+    f"{_TS}, {_shingles(3)}, {_SIGS}, {_BANDS}, "
+    "cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+    "FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket "
+    "AND a.doc_id < b.doc_id), "
+    "ver AS (SELECT id_a, id_b, "
+    "len(list_intersect(sa.shingles, sb.shingles))::DOUBLE / "
+    "len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS j "
+    "FROM cands JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)"
+)
+
+# connected components over the verified pairs via recursive min-label
+# propagation: the component minimum seeds at its own row and flows along
+# the symmetrized edges to every reachable member; min() per node at the
+# fixpoint = the component's canonical id (= eq_closure's output)
+_COMP_CTES = (
+    "WITH RECURSIVE " + _PAIRS_CTES + ", "
+    "edges AS (SELECT id_a AS x, id_b AS y FROM ver WHERE j >= 0.8 "
+    "UNION SELECT id_b, id_a FROM ver WHERE j >= 0.8), "
+    "lbl(x, rep) AS (SELECT x, least(x, min(y)) FROM edges GROUP BY x "
+    "UNION SELECT e.x, l.rep FROM edges e JOIN lbl l ON l.x = e.y), "
+    "comp AS (SELECT x AS doc_id, min(rep) AS rep_id FROM lbl GROUP BY x) "
 )
 
 
@@ -304,16 +335,15 @@ def oracle_sql() -> dict[str, str]:
         + " AS minhash FROM sh CROSS JOIN (SELECT unnest(range(16)) AS h_idx) h",
         "lsh_buckets": f"WITH {_TS}, {_shingles(3)}, {_SIGS}, {_BANDS} "
         "SELECT doc_id, band, bucket FROM bands",
-        "near_dup_pairs": f"WITH {_TS}, {_shingles(3)}, {_SIGS}, {_BANDS}, "
-        "cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
-        "FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket "
-        "AND a.doc_id < b.doc_id), "
-        "ver AS (SELECT id_a, id_b, "
-        "len(list_intersect(sa.shingles, sb.shingles))::DOUBLE / "
-        "len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS j "
-        "FROM cands JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b) "
+        "near_dup_pairs": f"WITH {_PAIRS_CTES} "
         "SELECT id_a, id_b, floor(j * 1000000)::BIGINT AS jaccard_micro "
         "FROM ver WHERE j >= 0.8",
+        "dedup_groups": _COMP_CTES
+        + "SELECT doc_id, rep_id, "
+        "count(*) OVER (PARTITION BY rep_id) AS cluster_size FROM comp",
+        "dedup_corpus": _COMP_CTES
+        + "SELECT doc_id, n_chars FROM documents WHERE doc_id NOT IN "
+        "(SELECT doc_id FROM comp WHERE doc_id != rep_id)",
         "simhash": f"WITH {_TS}, "
         "tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS t FROM ts), "
         "h AS (SELECT doc_id, " + _MD5INT.format(x="t") + " AS hv FROM tok), "

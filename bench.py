@@ -42,6 +42,7 @@ HEADLINE = [
     ("regex_filter", Q.q_regex_filter),
     ("exact_dedup", Q.q_exact_dedup),
     ("near_dup_pairs", Q.q_near_dup_pairs),
+    ("dedup_groups", Q.q_dedup_groups),
     ("simhash", Q.q_simhash),
     ("token_count", Q.q_token_count),
     ("lang_id", Q.q_lang_id),

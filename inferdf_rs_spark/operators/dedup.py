@@ -233,3 +233,69 @@ def ngram_jaccard_consecutive(
             F.floor(F.col("inter") / F.col("uni") * 1e6).cast("long").alias("jaccard_micro"),
         )
     )
+
+
+# ------------------------------------------------------------ dedup groups
+
+
+def dedup_groups(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pairs: DataFrame | None = None,
+    **near_dup_kwargs,
+) -> DataFrame:
+    """Duplicate CLUSTERS from verified near-dup pairs: connected
+    components over the pair graph, one canonical representative (the
+    minimum doc id) per cluster.  This is the step a corpus pipeline
+    actually needs after pair generation — "keep one of each group",
+    which pairwise output alone cannot answer when duplicates chain
+    (A~B, B~C but A!~C must still collapse to ONE keeper).
+
+    Output: (doc_id, rep_id, cluster_size) for every clustered doc;
+    singletons (no near-dup) are absent — their "cluster" is themselves.
+
+    Reuses the KG engine's Shiloach-Vishkin eq-closure (hook +
+    pointer-jump, O(log chain) rounds — operators/eqclosure.py), the
+    same machinery that merges owl:sameAs resources: doc-dedup IS
+    entity resolution over the similarity graph.  Scale shape: the
+    closure shuffles only CLUSTERED ids (a tiny fraction of the corpus),
+    never the corpus itself; cluster_size is one small groupBy over the
+    mapping.
+
+    ``pairs``: pre-computed (id_a, id_b) pairs; default runs
+    ``minhash_near_dup_pairs`` with ``near_dup_kwargs``.
+    """
+    from .eqclosure import eq_closure
+
+    if pairs is None:
+        pairs = minhash_near_dup_pairs(docs, text_col, id_col, **near_dup_kwargs)
+    mapping = eq_closure(
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    )
+    sizes = mapping.groupBy("res").agg(F.count("*").alias("cluster_size"))
+    return (
+        mapping.join(sizes, "res")
+        .select(
+            F.col("term_id").alias(id_col),
+            F.col("res").alias("rep_id"),
+            "cluster_size",
+        )
+    )
+
+
+def drop_near_dups(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    groups: DataFrame | None = None,
+    **near_dup_kwargs,
+) -> DataFrame:
+    """The deduplicated corpus: every singleton plus each cluster's
+    representative.  A broadcast-able anti-join at 100 TB — the drop
+    list (clustered non-representatives) is tiny relative to the
+    corpus, so Spark broadcasts it and the corpus never shuffles."""
+    if groups is None:
+        groups = dedup_groups(docs, text_col, id_col, **near_dup_kwargs)
+    drop = groups.filter(F.col(id_col) != F.col("rep_id")).select(id_col)
+    return docs.join(drop, id_col, "left_anti")

@@ -341,6 +341,25 @@ def q_near_dup_pairs(spark, sf_dir):
     )
 
 
+def q_dedup_groups(spark, sf_dir):
+    """Duplicate clusters: near-dup pairs -> Shiloach-Vishkin connected
+    components -> (doc_id, rep_id, cluster_size).  The corpus "keep one
+    per group" primitive; clusters CHAIN (A~B~C with A!~C), which the
+    pair list alone cannot collapse."""
+    return dedup.dedup_groups(
+        load(spark, sf_dir, "documents"), n_hashes=16, bands=4, shingle_words=3, threshold=0.8
+    )
+
+
+def q_dedup_corpus(spark, sf_dir):
+    """The deduplicated corpus: singletons + one representative per
+    near-dup cluster (broadcast anti-join of the tiny drop-list)."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.drop_near_dups(
+        docs, n_hashes=16, bands=4, shingle_words=3, threshold=0.8
+    ).select("doc_id", "n_chars")
+
+
 def q_simhash(spark, sf_dir):
     return dedup.simhash(load(spark, sf_dir, "documents"), bits=16)
 

@@ -468,3 +468,35 @@ def test_embed_near_dup_joint_auto_uses_radius0_tables(spark):
         similarity.auto_lsh_params = _saved
     assert seen["args"] == (40, 1)
     assert seen["out"][2] == 1  # probes pinned to 1
+
+
+def test_dedup_groups_collapses_chains(spark):
+    """A~B and B~C near-dups (A!~C directly) must land in ONE cluster
+    with the minimum id as representative; drop_near_dups keeps exactly
+    the representative plus all singletons."""
+    from pyspark.sql import functions as F
+
+    from inferdf_rs_spark.operators.dedup import dedup_groups, drop_near_dups
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 6
+    rows = [
+        (1, base + "alpha beta gamma delta"),          # A
+        (2, base + "alpha beta gamma epsilon"),        # B ~ A and ~ C
+        (3, base + "alpha beta zeta epsilon"),         # C
+        (10, "completely unrelated text about spark engines " * 8),
+        (11, "another standalone document on graph closure theory " * 8),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    groups = dedup_groups(docs, threshold=0.5).collect()
+    by_id = {r["doc_id"]: r for r in groups}
+    assert set(by_id) == {1, 2, 3}, "singletons must not appear in clusters"
+    assert {r["rep_id"] for r in groups} == {1}, "chained cluster collapses to min id"
+    assert all(r["cluster_size"] == 3 for r in groups)
+
+    kept = {r["doc_id"] for r in drop_near_dups(docs, threshold=0.5).collect()}
+    assert kept == {1, 10, 11}
+
+    # precomputed-pairs path: bypass minhash, feed explicit pairs
+    pairs = spark.createDataFrame([(10, 11)], ["id_a", "id_b"])
+    g2 = dedup_groups(docs, pairs=pairs).collect()
+    assert {(r["doc_id"], r["rep_id"]) for r in g2} == {(10, 10), (11, 10)}
