@@ -169,6 +169,7 @@ def run_pipeline(
     static_terms: DataFrame | None = None,
     aliases: list[str] | None = None,
     fused_extract: bool = True,
+    snapshots: bool = False,
 ) -> PipelineResult:
     timings: dict[str, float] = {}
 
@@ -289,7 +290,16 @@ def run_pipeline(
 
     if out_dir:
         t0 = time.perf_counter()
-        write_graph(res.store, res.terms, out_dir, metrics=res.metrics)
+        if snapshots:
+            # versioned commit: immutable data dir + manifest + atomic
+            # pointer swap (sources/snapshots.py) — re-running the
+            # pipeline over an updated corpus PUBLISHES a new version
+            # while readers of the old one are untouched
+            from ..sources.snapshots import commit_graph
+
+            commit_graph(res.store, res.terms, out_dir, metrics=res.metrics)
+        else:
+            write_graph(res.store, res.terms, out_dir, metrics=res.metrics)
         timings["materialize"] = time.perf_counter() - t0
 
     return PipelineResult(res, n_pages, n_stated, n_total, fid, timings)

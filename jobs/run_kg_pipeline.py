@@ -44,6 +44,13 @@ def main() -> None:
     )
     ap.add_argument("--repartition", type=int, default=None, help="input split count (0 disables)")
     ap.add_argument(
+        "--snapshots",
+        action="store_true",
+        help="materialize as a versioned snapshot commit (immutable data dir + "
+        "manifest + atomic LATEST swap — sources/snapshots.py) instead of an "
+        "in-place overwrite; each run publishes a new time-travelable version",
+    )
+    ap.add_argument(
         "--repeat",
         type=int,
         default=1,
@@ -110,6 +117,7 @@ def main() -> None:
             audit_dictionary=args.audit_dictionary,
             static_terms=static_terms,
             aliases=aliases,
+            snapshots=args.snapshots,
         )
         wall = time.perf_counter() - t0
         iters.append({"wall_sec": round(wall, 3), "timings": {k: round(t, 3) for k, t in pr.timings.items()}})

@@ -485,3 +485,45 @@ def test_explain_over_materialized_graph(spark, tmp_path):
     n_mp = ds.triples.filter(F.col("p") == ids[mk_iri(webkg.KG + "mentionsPerson")]).count()
     assert n_mp > 0 and mp.count() == n_mp
     sup.unpersist()
+
+
+def test_snapshot_commit_time_travel_vacuum(spark, tmp_path):
+    """Versioned store (sources/snapshots.py — the Iceberg/Delta pattern
+    over plain parquet, jars-free): two pipeline runs publish v1/v2; a
+    reader holding v1 is untouched by the v2 commit (immutable data
+    dirs + atomic pointer swap); time travel re-opens v1; vacuum drops
+    it plus the orphan of a crashed commit, after which the v1 read
+    fails loudly, and the published version still reads."""
+    import os
+
+    import pytest
+
+    from inferdf_rs_spark.sources import snapshots as snap
+
+    root = str(tmp_path / "store")
+    pages1 = synth.synth_pages(spark, 40).localCheckpoint(eager=True)
+    pages2 = synth.synth_pages(spark, 80).localCheckpoint(eager=True)
+
+    webkg.run_pipeline(spark, pages1, out_dir=root, skip_fidelity=True, snapshots=True)
+    assert snap.latest_version(root) == 1
+    ds1 = snap.read_graph_version(spark, root)
+    n1 = ds1.triples.count()
+    assert n1 == snap.versions(root)[0]["n_triples"]
+
+    webkg.run_pipeline(spark, pages2, out_dir=root, skip_fidelity=True, snapshots=True)
+    assert snap.latest_version(root) == 2
+    # snapshot isolation: the pre-commit handle still scans only v1 files
+    assert ds1.triples.count() == n1
+    n2 = snap.read_graph_version(spark, root).triples.count()
+    assert n2 > n1
+    # time travel
+    assert snap.read_graph_version(spark, root, version=1).triples.count() == n1
+
+    # a crashed commit's orphan data dir: invisible to readers, vacuumable
+    os.makedirs(os.path.join(root, "data", "v99999.tmp"))
+    removed = snap.vacuum(root, keep_last=1)
+    assert any(p.endswith("v00001") for p in removed)
+    assert any(p.endswith("v99999.tmp") for p in removed)
+    assert snap.read_graph_version(spark, root).triples.count() == n2
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        snap.read_graph_version(spark, root, version=1)
