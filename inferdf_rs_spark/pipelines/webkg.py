@@ -170,10 +170,27 @@ def run_pipeline(
     aliases: list[str] | None = None,
     fused_extract: bool = True,
     snapshots: bool = False,
+    dedup_pages: bool = False,
 ) -> PipelineResult:
     timings: dict[str, float] = {}
 
     t0 = time.perf_counter()
+    if dedup_pages:
+        # Common-Crawl-style exact dedup BEFORE extraction: mirror urls
+        # serving byte-identical html collapse to the lexicographically
+        # smallest url (operators/dedup.exact_dedup over the raw bytes).
+        # One narrow shuffle on (url, digest) + a semi-join that prunes
+        # the wide rows before the extract UDF ever sees them — at
+        # 100 TB the html bytes of dropped mirrors are never decoded.
+        # Lazy: the cost lands inside the extract_verify stage action.
+        from ..operators.dedup import exact_dedup
+
+        keep = (
+            exact_dedup(pages, text_col="html", id_col="url")
+            .filter("keep")
+            .select("url")
+        )
+        pages = pages.join(keep, "url", "left_semi")
     alias_d, etypes, sameas = (
         synth.alias_dict(spark),
         synth.entity_types(spark),

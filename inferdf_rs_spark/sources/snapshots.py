@@ -32,6 +32,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _snap_dir(root: str) -> str:
@@ -130,6 +131,52 @@ def read_graph_version(spark: SparkSession, root: str, version: int | None = Non
             f"{manifest['data_dir']} is gone — vacuumed without dropping the manifest?"
         )
     return read_graph(spark, manifest["data_dir"])
+
+
+def snapshot_diff(
+    spark: SparkSession, root: str, v_from: int, v_to: int | None = None
+) -> DataFrame:
+    """Change-data feed between two committed versions: every signed
+    fact present in exactly one of them, tagged ``change`` =
+    ``added`` | ``removed`` (w.r.t. the older → newer direction).
+    ``v_to`` defaults to LATEST.
+
+    Fact identity is the signed quad ``(s, p, o, sign, g)`` — lineage
+    columns (cause_kind/rule_id/…/round) are derivation metadata, not
+    identity, so a fact re-derived by a different rule in the newer
+    run is NOT a change.
+
+    Scale shape: both sides are immutable snapshot scans that keep
+    their hive ``p_bucket`` partition column, and both anti-joins key
+    on it first, so the exchange hashes co-bucketed fact keys — no
+    wide rows move (5 longs + a bool per side) and a consumer filter
+    on ``p_bucket`` prunes both scans before the join.  This is the
+    payoff of the immutable-version design: CDC costs two narrow
+    scans, never a log replay.
+    """
+    if v_to is None:
+        v_to = latest_version(root)
+        if v_to is None:
+            raise FileNotFoundError(f"no published snapshot under {root}")
+    key = ["p_bucket", "s", "p", "o", "sign", "g"]
+    old = read_graph_version(spark, root, v_from).triples.select(key)
+    new = read_graph_version(spark, root, v_to).triples.select(key)
+
+    def _anti(left: DataFrame, right: DataFrame) -> DataFrame:
+        # g is nullable (default graph = NULL): a name-list join's plain
+        # equality never matches NULL = NULL, which would tag every
+        # default-graph fact present in BOTH versions as added AND
+        # removed.  eqNullSafe (<=>) is still an equi-join predicate, so
+        # the hash-partitioned SMJ plan is unchanged.
+        l, r = left.alias("l"), right.alias("r")
+        cond = F.lit(True)
+        for c in key:
+            cond = cond & F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}"))
+        return l.join(r, cond, "left_anti")
+
+    added = _anti(new, old).withColumn("change", F.lit("added"))
+    removed = _anti(old, new).withColumn("change", F.lit("removed"))
+    return added.unionByName(removed)
 
 
 def vacuum(root: str, keep_last: int = 2) -> list[str]:

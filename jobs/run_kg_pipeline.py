@@ -44,6 +44,13 @@ def main() -> None:
     )
     ap.add_argument("--repartition", type=int, default=None, help="input split count (0 disables)")
     ap.add_argument(
+        "--dedup-pages",
+        action="store_true",
+        help="exact-dedup raw pages by html digest before extraction "
+        "(mirror urls collapse to the smallest url; dropped bytes are "
+        "never decoded)",
+    )
+    ap.add_argument(
         "--snapshots",
         action="store_true",
         help="materialize as a versioned snapshot commit (immutable data dir + "
@@ -118,6 +125,7 @@ def main() -> None:
             static_terms=static_terms,
             aliases=aliases,
             snapshots=args.snapshots,
+            dedup_pages=args.dedup_pages,
         )
         wall = time.perf_counter() - t0
         iters.append({"wall_sec": round(wall, 3), "timings": {k: round(t, 3) for k, t in pr.timings.items()}})

@@ -302,6 +302,29 @@ def test_pipeline_kill_resume_same_signature(spark, tmp_path):
     assert sig_resumed == sig_fresh
 
 
+def test_pipeline_dedup_pages_drops_mirrors(spark):
+    """dedup_pages=True: mirror urls serving byte-identical html are
+    dropped before extraction (keeper = lexicographically smallest url),
+    so the mirrored corpus produces the IDENTICAL graph to the clean
+    one; without the flag the mirrors leak into the page count."""
+    from inferdf_rs_spark.operators.canon import graph_signature
+
+    pages = synth.synth_pages(spark, 30).localCheckpoint(eager=True)
+    mirrors = pages.withColumn("url", F.concat(F.col("url"), F.lit("?mirror")))
+    corpus = pages.unionByName(mirrors).localCheckpoint(eager=True)
+
+    base = webkg.run_pipeline(spark, pages, skip_fidelity=True)
+    deduped = webkg.run_pipeline(spark, corpus, skip_fidelity=True, dedup_pages=True)
+    assert deduped.n_pages == 30 == base.n_pages
+    assert deduped.n_total == base.n_total
+    assert graph_signature(deduped.result.store, deduped.result.terms) == graph_signature(
+        base.result.store, base.result.terms
+    )
+
+    undeduped = webkg.run_pipeline(spark, corpus, skip_fidelity=True)
+    assert undeduped.n_pages == 60
+
+
 def test_write_graph_skewed_predicates_balanced_writers(spark, tmp_path):
     """The salted writer layout must spread a dominant predicate bucket
     over many files (real predicate distributions are heavily skewed —
@@ -518,6 +541,23 @@ def test_snapshot_commit_time_travel_vacuum(spark, tmp_path):
     assert n2 > n1
     # time travel
     assert snap.read_graph_version(spark, root, version=1).triples.count() == n1
+
+    # change-data feed v1 -> v2: added/removed partition the symmetric
+    # difference, and |v1| - removed + added = |v2| (identity = signed
+    # quad, not lineage)
+    diff = snap.snapshot_diff(spark, root, 1).cache()
+    try:
+        n_added = diff.filter(F.col("change") == "added").count()
+        n_removed = diff.filter(F.col("change") == "removed").count()
+        assert n_added > 0 and n1 - n_removed + n_added == n2
+        # a fact can't be both added and removed
+        assert diff.count() == diff.dropDuplicates(
+            ["p_bucket", "s", "p", "o", "sign", "g"]
+        ).count()
+    finally:
+        diff.unpersist()
+    # self-diff is empty
+    assert snap.snapshot_diff(spark, root, 2, 2).isEmpty()
 
     # a crashed commit's orphan data dir: invisible to readers, vacuumable
     os.makedirs(os.path.join(root, "data", "v99999.tmp"))
