@@ -37,12 +37,26 @@ class StreamingGraph:
     Eq/True side tables, strict expression errors, rule dispatch, and
     the raise-on-round-cap guarantee (no silent partial closure)."""
 
-    def __init__(self, spark: SparkSession, system: System, out_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        system: System,
+        out_dir: str,
+        commit_every: int | None = None,
+    ):
         from ..caches import CheckpointTracker
 
         self.spark = spark
         self.system = system
         self.out_dir = out_dir
+        # publish a versioned snapshot (sources/snapshots.py) every N
+        # batches: without durable commits a long-running stream holds
+        # the accumulated graph only in executor caches — a crash loses
+        # everything since the stream start.  Snapshot commits make the
+        # stream's output CONSUMABLE mid-flight (readers get an isolated
+        # version while ingestion continues) and bound the replay window
+        # on restart to the batches since the last published version.
+        self.commit_every = commit_every
         self.store: DataFrame | None = None
         self.terms: DataFrame | None = None
         self.eqs: DataFrame | None = None
@@ -94,6 +108,19 @@ class StreamingGraph:
         res.release()
         self._tracker.release(old_gen | ids_in1 | ids_in2)
         self.batches += 1
+        if self.commit_every and self.batches % self.commit_every == 0:
+            self.publish()
+
+    def publish(self) -> int:
+        """Commit the accumulated graph as a new snapshot version under
+        ``out_dir`` (atomic pointer swap; readers of earlier versions are
+        untouched).  Because incremental maintenance only ever APPENDS
+        facts, the ``snapshot_diff`` between consecutive published
+        versions is pure 'added' rows — a ready-made change feed for
+        downstream consumers of the stream."""
+        from ..sources.snapshots import commit_graph
+
+        return commit_graph(self.store, self.terms, self.out_dir)
 
     def counts(self) -> tuple[int, int]:
         return (self.store.count() if self.store is not None else 0, self.batches)

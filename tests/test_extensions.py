@@ -375,6 +375,47 @@ def test_streaming_replay_idempotent(spark):
     sg._tracker.release()
 
 
+def test_streaming_snapshot_commits_monotone_feed(spark, tmp_path):
+    """commit_every=1: each micro-batch publishes a snapshot version of
+    the accumulated graph; because incremental maintenance only appends,
+    the CDC feed between consecutive versions is pure 'added' rows and
+    each version's count equals the store at that batch."""
+    from pyspark.sql import functions as F
+
+    from inferdf_rs_spark.encode import iri_edges
+    from inferdf_rs_spark.rules import stmt_triple
+    from inferdf_rs_spark.sources import snapshots as snap
+    from inferdf_rs_spark.streaming.ingest import StreamingGraph
+
+    EXK = "https://example.org/r#"
+    r = rule(
+        variables=2,
+        hypothesis=[pat("+", v(0), iri(EXK + "a"), v(1))],
+        statements=[stmt_triple("+", v(0), iri(EXK + "b"), v(1))],
+    )
+    root = str(tmp_path / "stream_store")
+    sg = StreamingGraph(spark, System(spark, [r]), root, commit_every=1)
+
+    def batch(rows):
+        return iri_edges(
+            spark.createDataFrame(rows, "s_lex string, p_lex string, o_lex string")
+        )
+
+    sg.process_batch(batch([(EXK + "x1", EXK + "a", EXK + "y1")]), 0)
+    n1 = sg.store.count()
+    sg.process_batch(batch([(EXK + "x2", EXK + "a", EXK + "y2")]), 1)
+    n2 = sg.store.count()
+
+    assert snap.latest_version(root) == 2
+    assert snap.read_graph_version(spark, root, version=1).triples.count() == n1
+    assert snap.read_graph_version(spark, root, version=2).triples.count() == n2
+
+    diff = snap.snapshot_diff(spark, root, 1, 2)
+    assert diff.filter(F.col("change") == "removed").count() == 0
+    assert diff.count() == n2 - n1
+    sg._tracker.release()
+
+
 def test_streaming_incremental_graph(spark, tmp_path):
     """Two page micro-batches; the incremental graph equals the batch
     pipeline's fixpoint over the union."""
