@@ -110,24 +110,44 @@ def minhash_signatures(
     )
 
 
+def spread_input(df: DataFrame) -> DataFrame:
+    """Ensure the input has at least cluster-width partitions.
+
+    A small input (one parquet split) otherwise serializes every
+    downstream explode/hash/aggregate on a single task — measured 4.8s
+    single-threaded vs <1s spread for the sf0.1 shingle build.  At
+    production scale the input already has >= cluster-width splits and
+    this is a no-op (partition count check only, no shuffle)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def lsh_bands(sigs: DataFrame, bands: int, n_hashes: int, id_col: str = "doc_id") -> DataFrame:
     """Split signatures into bands; band key = md5 of the band slice.
-    (doc, band, bucket) rows — join on (band, bucket) for candidates."""
+    (doc, band, bucket) rows — join on (band, bucket) for candidates.
+
+    ONE pass over ``sigs``: all band keys are computed in a single
+    projection and ``posexplode``d — a per-band union of projections
+    would scan (and, if unpersisted, recompute) the signature aggregate
+    ``bands`` times."""
     rows_per = n_hashes // bands
-    parts = []
-    for b in range(bands):
-        sl = F.slice(F.col("sig"), b * rows_per + 1, rows_per)
-        parts.append(
-            sigs.select(
-                F.col(id_col),
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws(",", F.transform(sl, lambda x: x.cast("string")))).alias("bucket"),
+    keys = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.col("sig"), b * rows_per + 1, rows_per),
+                    lambda x: x.cast("string"),
+                ),
             )
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        for b in range(bands)
+    ]
+    return sigs.select(
+        F.col(id_col), F.posexplode(F.array(*keys)).alias("band", "bucket")
+    )
 
 
 def minhash_near_dup_pairs(
@@ -151,6 +171,7 @@ def minhash_near_dup_pairs(
     repeat this per batch therefore retain only their own results."""
     from pyspark.storagelevel import StorageLevel
 
+    docs = spread_input(docs)
     toks = norm_tokens(F.col(text_col))
     # persist: shingle arrays feed both the signature pass and the verify
     # join, and the band table self-joins — without caching each side of
