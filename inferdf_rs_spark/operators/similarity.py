@@ -285,7 +285,19 @@ def embedding_near_dup_pairs(
     elif n_tables is None:
         raise ValueError("n_tables=None (auto) requires n_planes=None too")
 
-    codes = sign_codes(embeddings, dim, n_planes, n_tables, id_col, vec_col)
+    from pyspark.storagelevel import StorageLevel
+
+    from .dedup import spread_input
+
+    embeddings = spread_input(embeddings)
+    # persist the NARROW code table (id, tbl, code): both sides of the
+    # bucket self-join scan it, and without the cache each side re-runs
+    # the sign-code matmul UDF over every vector
+    codes = (
+        sign_codes(embeddings, dim, n_planes, n_tables, id_col, vec_col)
+        .select(id_col, "tbl", "code")
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    )
     a = codes.select(F.col(id_col).alias("id_a"), "tbl", "code")
     b = codes.select(F.col(id_col).alias("id_b"), "tbl", "code")
     cands = (
@@ -296,13 +308,20 @@ def embedding_near_dup_pairs(
     )
     ea = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     eb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    return (
+    out = (
         cands.join(ea, "id_a")
         .join(eb, "id_b")
         .withColumn("cos", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.floor(F.col("cos") * 1e6).cast("long").alias("cosine_micro"))
     )
+    try:
+        # materialize before releasing the code cache (the minhash
+        # near-dup lifecycle pattern): callers get a result that does
+        # not recompute through the released cache
+        return out.localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK_DESER)
+    finally:
+        codes.unpersist()
 
 
 def lsh_bucket_ann(
