@@ -96,6 +96,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing (deterministic stub decode — oracled)
         "multimodal_features": Q.q_multimodal_features,
         "multimodal_frames": Q.q_multimodal_frames,
+        # pipeline ops (r5): pack assembly, quality gate, PII, sampling,
+        # as-of join, signed-store consistency, skew-planner stats
+        "pack_sequences": Q.q_pack_sequences,
+        "quality_filter": Q.q_quality_filter,
+        "pii_redact": Q.q_pii_redact,
+        "stratified_sample": Q.q_stratified_sample,
+        "topk_per_lang": Q.q_topk_per_lang,
+        "events_asof": Q.q_events_asof,
+        "contradictions": Q.q_contradictions,
+        "predicate_stats": Q.q_predicate_stats,
     }
 
 
@@ -126,6 +136,27 @@ def _shingles(k: int) -> str:
 
 
 _MD5INT = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+# PII patterns (operators/textstats.py PII_PATTERNS) — Java/RE2-common
+# dialect; kept verbatim-identical on both engines
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+_QUALITY_FEATURES_SQL = (
+    "SELECT doc_id, len(text) AS n_chars_m, "
+    "len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha, "
+    "len(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit, "
+    "len(regexp_replace(text, '[^ ]', '', 'g')) AS n_space, "
+    "len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS n_tokens, "
+    "CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) > 0 THEN "
+    "floor(list_aggregate(list_transform(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0), t -> len(t)), 'sum') * 1000 / "
+    "len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)))::BIGINT ELSE 0 END AS mean_tok_len_milli, "
+    "CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) > 0 THEN "
+    "floor(len(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0))) * 1000 / "
+    "len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)))::BIGINT ELSE 0 END AS distinct_ratio_milli "
+    "FROM documents"
+)
 
 # minhash j = 32-bit window (j%4) of md5((j//4) || ':' || shingle)
 _MINHASH_J = (
@@ -358,18 +389,7 @@ def oracle_sql() -> dict[str, str]:
         "WHERE len(list_distinct(list_concat(a.shingles, b.shingles))) > 0",
         # ----- text analysis
         "token_count": f"WITH {_TS} SELECT doc_id, len(toks) AS n_tokens FROM ts",
-        "quality": "SELECT doc_id, len(text) AS n_chars_m, "
-        "len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha, "
-        "len(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit, "
-        "len(regexp_replace(text, '[^ ]', '', 'g')) AS n_space, "
-        "len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS n_tokens, "
-        "CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) > 0 THEN "
-        "floor(list_aggregate(list_transform(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0), t -> len(t)), 'sum') * 1000 / "
-        "len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)))::BIGINT ELSE 0 END AS mean_tok_len_milli, "
-        "CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) > 0 THEN "
-        "floor(len(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0))) * 1000 / "
-        "len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)))::BIGINT ELSE 0 END AS distinct_ratio_milli "
-        "FROM documents",
+        "quality": _QUALITY_FEATURES_SQL,
         "lang_id": f"WITH {_TS}, "
         "c AS (SELECT doc_id, "
         "len(list_filter(toks, x -> list_contains(['der','die','und','das','ein','ist'], x))) AS de, "
@@ -428,4 +448,53 @@ def oracle_sql() -> dict[str, str]:
         "(i * 1000) AS ts_ms, md5(text || i::VARCHAR) AS frame_digest "
         "FROM documents CROSS JOIN (SELECT unnest(range(3)) AS i) r "
         "WHERE doc_id % 3 = 2",
+        # ----- pipeline ops (r5)
+        "pack_sequences": f"WITH {_TS}, "
+        "c AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens FROM ts) "
+        "SELECT doc_id, n_tokens, "
+        "CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens, "
+        "greatest(0, floor((cum_tokens - 1) / 200))::BIGINT AS pack_id FROM c",
+        "quality_filter": "WITH f AS (" + _QUALITY_FEATURES_SQL + "), "
+        "r AS (SELECT doc_id, ("
+        "CASE WHEN n_tokens < 5 THEN 1 ELSE 0 END "
+        "+ CASE WHEN n_tokens > 1000000 THEN 2 ELSE 0 END "
+        "+ CASE WHEN mean_tok_len_milli < 2000 OR mean_tok_len_milli > 12000 THEN 4 ELSE 0 END "
+        "+ CASE WHEN (CASE WHEN n_chars_m > 0 THEN floor(n_alpha * 1000 / n_chars_m) ELSE 0 END) < 500 THEN 8 ELSE 0 END "
+        "+ CASE WHEN distinct_ratio_milli < 200 THEN 16 ELSE 0 END)::BIGINT AS reasons FROM f) "
+        "SELECT doc_id, reasons, reasons = 0 AS keep FROM r",
+        "pii_redact": "WITH seeded AS (SELECT doc_id, text || "
+        "(CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com now' "
+        "WHEN doc_id % 3 = 1 THEN ' call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-1234 today' "
+        "ELSE ' host 10.0.' || (doc_id % 256) || '.7 up' END) AS text FROM documents) "
+        "SELECT doc_id, "
+        f"regexp_replace(regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'), "
+        f"'{_PII_PHONE}', '<PHONE>', 'g'), '{_PII_IPV4}', '<IPV4>', 'g') AS clean_text, "
+        f"len(regexp_extract_all(text, '{_PII_EMAIL}'))::BIGINT AS n_email, "
+        f"len(regexp_extract_all(text, '{_PII_PHONE}'))::BIGINT AS n_phone, "
+        f"len(regexp_extract_all(text, '{_PII_IPV4}'))::BIGINT AS n_ipv4 "
+        "FROM seeded",
+        "stratified_sample": "SELECT doc_id, lang FROM documents WHERE "
+        + _MD5INT.format(x="doc_id::VARCHAR")
+        + " % 100 < (CASE lang WHEN 'en' THEN 25 WHEN 'fr' THEN 80 "
+        "WHEN 'de' THEN 55 WHEN 'es' THEN 10 ELSE 0 END)",
+        "topk_per_lang": "WITH r AS (SELECT lang, doc_id, n_chars, "
+        "row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC)::BIGINT AS rank "
+        "FROM documents) SELECT lang, doc_id, n_chars, rank FROM r WHERE rank <= 5",
+        # DuckDB ASOF JOIN matches the operator's inclusive
+        # right.ts <= left.ts semantics (ties: (user_id, ts) is unique
+        # in the fixture — asserted by tests/test_extensions.py)
+        "events_asof": "WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), "
+        "errors AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'error') "
+        "SELECT c.event_id AS click_id, e.event_id AS err_id, e.value AS err_value "
+        "FROM clicks c ASOF LEFT JOIN errors e ON c.user_id = e.user_id AND e.ts <= c.ts",
+        "contradictions": "SELECT 'order://' || o_orderkey AS order_iri "
+        "FROM orders WHERE (o_orderstatus = 'O') <> (o_orderpriority LIKE '1-%')",
+        "predicate_stats": "WITH pairs AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem), "
+        "deg AS (SELECT pk, count(*)::BIGINT AS d FROM pairs GROUP BY pk) "
+        "SELECT (SELECT sum(d) FROM deg)::BIGINT AS n_facts, "
+        "(SELECT count(*) FROM deg)::BIGINT AS n_subjects, "
+        "(SELECT count(DISTINCT sk) FROM pairs)::BIGINT AS n_objects, "
+        "(SELECT max(d) FROM deg)::BIGINT AS max_s_degree, "
+        "'kg:rel' AS p_iri",
     }

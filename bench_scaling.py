@@ -22,7 +22,15 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 N_PAGES = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "2000000"))
-LEVELS = [8, 32]
+# The N / 4N pair. 8,32 saturates this sandbox's single shared memory
+# socket at the top level (memcpy 127 -> 151 GB/s, 1.19x for 4x procs);
+# 2,8 keeps per-core bandwidth roughly constant (43.6 -> 127 GB/s,
+# 2.9x) — the honest analogue of adding executor NODES, each bringing
+# its own DRAM bus. Both pairs are reported in BENCH_SCALING.md.
+LEVELS = [
+    int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "8,32").split(",")
+]
+LO, HI = LEVELS
 # measured warmup curve at local[32]: identical pipeline iterations take
 # 157s → 114s → 108s → 110s — the first runs pay JVM JIT compilation of
 # the codegen'd stages.  A production cluster job runs for hours, so the
@@ -147,7 +155,7 @@ def main() -> None:
             results[cores] = run_level(cores, pages_path, out_dir)
 
         thr = {c: results[c]["pages_per_sec"] for c in LEVELS}
-        eff = (thr[32] / thr[8]) / (32 / 8)
+        eff = (thr[HI] / thr[LO]) / (HI / LO)
 
         # variance-controlled companion number: efficiency from the MEDIAN
         # of the post-warmup iterations (best-of is the JIT-steady-state
@@ -156,26 +164,30 @@ def main() -> None:
             c: results[c].get("wall_sec_median", results[c]["wall_sec"])
             for c in LEVELS
         }
-        eff_med = (wall_med[8] / wall_med[32]) / (32 / 8)
+        eff_med = (wall_med[LO] / wall_med[HI]) / (HI / LO)
 
         # per-stage efficiency: which stages scale with cores and which hit
         # the shared single-socket DRAM bus
         stages = sorted(
-            set(results[8].get("timings", {})) & set(results[32].get("timings", {}))
+            set(results[LO].get("timings", {})) & set(results[HI].get("timings", {}))
         )
         stage_eff = {
-            s: round(results[8]["timings"][s] / (4 * results[32]["timings"][s]), 3)
+            s: round(
+                results[LO]["timings"][s]
+                / ((HI / LO) * results[HI]["timings"][s]),
+                3,
+            )
             for s in stages
-            if results[32]["timings"][s] > 0
+            if results[HI]["timings"][s] > 0
         }
 
         # hardware context: aggregate DRAM bandwidth at both levels — the
         # ceiling for any shuffle/cache-bound stage on ONE shared bus
         bw = {c: measure_membw(c) for c in LEVELS}
-        bw_scaling = round(bw[32] / bw[8], 3) if bw[8] else None
+        bw_scaling = round(bw[HI] / bw[LO], 3) if bw[LO] else None
 
         summary = {
-            "metric": "scaling_efficiency_8_to_32",
+            "metric": f"scaling_efficiency_{LO}_to_{HI}",
             "value": round(eff, 3),
             "value_median": round(eff_med, 3),
             "unit": "ratio",
@@ -185,10 +197,30 @@ def main() -> None:
             "wall_sec_median": {f"local[{c}]": wall_med[c] for c in LEVELS},
             "stage_efficiency": stage_eff,
             "membw_gbps": {f"{c}_procs": bw[c] for c in LEVELS},
-            "membw_scaling_8_to_32": bw_scaling,
+            "membw_scaling": bw_scaling,
             "detail": results,
         }
         print(json.dumps(summary))
+
+        if (LO, HI) != (8, 32):
+            # non-default pair: append a section, keep the main report
+            with open(os.path.join(REPO, "BENCH_SCALING.md"), "a") as f:
+                f.write(
+                    f"\n## Additional pair: local[{LO}] → local[{HI}] "
+                    f"(unsaturated-bus analogue of N → 4N executor nodes)\n\n"
+                    f"| level | pages/sec | wall sec (best) | wall sec (median) |\n"
+                    f"|---|---|---|---|\n"
+                    f"| local[{LO}] | {thr[LO]} | {results[LO]['wall_sec']} | {wall_med[LO]} |\n"
+                    f"| local[{HI}] | {thr[HI]} | {results[HI]['wall_sec']} | {wall_med[HI]} |\n\n"
+                    f"- input: {N_PAGES} synthesized pages, same job binary + confs as the 8/32 pair\n"
+                    f"- **whole-job scaling efficiency ({LO}→{HI}) = {eff:.3f} best-of / {eff_med:.3f} median**\n"
+                    f"- per-stage efficiency: {json.dumps(stage_eff)}\n"
+                    f"- aggregate memcpy bandwidth: {bw[LO]} GB/s @{LO} procs → {bw[HI]} GB/s @{HI} procs "
+                    f"({bw_scaling}x for a {HI // LO}x proc scale-up — per-core bandwidth holds, as it does\n"
+                    f"  when a real cluster adds executor NODES; contrast 8→32 where it collapses 4x)\n"
+                    f"- detail: {json.dumps(results)}\n"
+                )
+            return
 
         with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as f:
             f.write(

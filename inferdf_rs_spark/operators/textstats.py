@@ -66,6 +66,88 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return docs.select(F.col(id_col), best["lang"].alias("pred_lang"), best["n"].alias("marker_hits"))
 
 
+# Gopher-style repetition/shape gates (Rae et al. 2021, table A1 —
+# public thresholds), expressed as integer milli-ratios so the keep
+# decision is bit-stable and oracle-reproducible.
+QUALITY_REASON_TOO_FEW_TOKENS = 1
+QUALITY_REASON_TOO_MANY_TOKENS = 2
+QUALITY_REASON_MEAN_TOK_LEN = 4
+QUALITY_REASON_ALPHA_RATIO = 8
+QUALITY_REASON_DISTINCT_RATIO = 16
+
+
+def quality_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    max_tokens: int = 1_000_000,
+    min_mean_tok_len_milli: int = 2_000,
+    max_mean_tok_len_milli: int = 12_000,
+    min_alpha_ratio_milli: int = 500,
+    min_distinct_ratio_milli: int = 200,
+) -> DataFrame:
+    """Gopher-style quality gate: (doc_id, keep, reasons bitmask).
+
+    Composes ``quality_features`` into one map-only pass — the filter
+    itself introduces NO shuffle, so it streams at scan speed at any
+    corpus size; downstream stages consume ``keep`` as a pushed-down
+    predicate.
+    """
+    f = quality_features(docs, text_col=text_col, id_col=id_col)
+    alpha_milli = F.when(
+        F.col("n_chars_m") > 0, F.floor(F.col("n_alpha") * 1000 / F.col("n_chars_m"))
+    ).otherwise(F.lit(0))
+    reasons = (
+        F.when(F.col("n_tokens") < min_tokens, F.lit(QUALITY_REASON_TOO_FEW_TOKENS)).otherwise(F.lit(0))
+        + F.when(F.col("n_tokens") > max_tokens, F.lit(QUALITY_REASON_TOO_MANY_TOKENS)).otherwise(F.lit(0))
+        + F.when(
+            (F.col("mean_tok_len_milli") < min_mean_tok_len_milli)
+            | (F.col("mean_tok_len_milli") > max_mean_tok_len_milli),
+            F.lit(QUALITY_REASON_MEAN_TOK_LEN),
+        ).otherwise(F.lit(0))
+        + F.when(alpha_milli < min_alpha_ratio_milli, F.lit(QUALITY_REASON_ALPHA_RATIO)).otherwise(F.lit(0))
+        + F.when(
+            F.col("distinct_ratio_milli") < min_distinct_ratio_milli,
+            F.lit(QUALITY_REASON_DISTINCT_RATIO),
+        ).otherwise(F.lit(0))
+    )
+    return f.select(
+        F.col(id_col),
+        reasons.cast("long").alias("reasons"),
+        (reasons == 0).alias("keep"),
+    )
+
+
+# PII patterns in the Java/RE2-common dialect (no backrefs, no
+# lookaround) so Spark's regexp_replace and DuckDB's RE2 agree byte
+# for byte.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Redact emails/phones/IPv4s: (doc_id, clean_text, n_email,
+    n_phone, n_ipv4).  Map-only regexp passes — scan-speed at any
+    scale; patterns applied in a fixed order (email first, so an IP
+    inside a hostname local-part is consumed by the email rule)."""
+    t = F.col(text_col)
+    counts = {k: F.regexp_count(t, F.lit(p)).cast("long") for k, p in PII_PATTERNS.items()}
+    clean = t
+    for k, p in PII_PATTERNS.items():
+        clean = F.regexp_replace(clean, p, f"<{k.upper()}>")
+    return docs.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        counts["ipv4"].alias("n_ipv4"),
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Content fingerprint: md5 of whitespace-normalized lowercase text."""
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")

@@ -93,6 +93,30 @@ def boolean_facets(terms: DataFrame) -> DataFrame:
     )
 
 
+def find_contradictions(store: DataFrame) -> DataFrame:
+    """Signed-store consistency probe: triples asserted BOTH positive
+    and negative.
+
+    The reference's signed model (``Signed<Quad>``, src/sign.rs:17,
+    src/dataset.rs:14-20) permits a store to hold (t, +) and (t, −)
+    simultaneously — nothing in insertion prevents it, and the False
+    statement check (src/system/deduction.rs:125-131) only surfaces a
+    conflict when a rule asks.  This operator surfaces ALL of them in
+    one pass: a self-semi-join on the triple key across the sign split.
+    One hash shuffle on (s, p, o); at 10^12 facts the aggregate form
+    (groupBy key, collect both signs) beats the join form — Catalyst's
+    map-side partial aggregation halves the exchange."""
+    return (
+        store.groupBy("s", "p", "o")
+        .agg(
+            F.max(F.col("sign") == True).alias("_pos"),  # noqa: E712
+            F.max(F.col("sign") == False).alias("_neg"),  # noqa: E712
+        )
+        .filter(F.col("_pos") & F.col("_neg"))
+        .select("s", "p", "o")
+    )
+
+
 def validate(
     spark: SparkSession,
     store: DataFrame,

@@ -466,3 +466,102 @@ def q_multimodal_frames(spark, sf_dir):
     return multimodal.sample_frames(media).withColumn("frame_idx", F.col("frame_idx").cast("long")).withColumn(
         "ts_ms", F.col("ts_ms").cast("long")
     )
+
+
+# ------------------------------------------------------------ pipeline ops (r5)
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Training-pack assembly: distributed prefix sum of token counts in
+    doc_id order, cumulative-boundary packs of 200 tokens."""
+    from ..operators import packing
+
+    out = packing.pack_sequences(load(spark, sf_dir, "documents"), budget=200)
+    return out.withColumn("n_tokens", F.col("n_tokens").cast("long"))
+
+
+def q_quality_filter(spark, sf_dir):
+    """Gopher-style quality gate: keep decision + reason bitmask."""
+    return textstats.quality_filter(load(spark, sf_dir, "documents"))
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII redaction over deterministic injected PII (the synthetic
+    corpus has none): every 3rd doc gets an email, phone or IPv4
+    appended — built identically in the oracle SQL."""
+    docs = load(spark, sf_dir, "documents")
+    pii = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com now")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit(" call 555-"), F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"), F.lit("-1234 today")),
+        )
+        .otherwise(F.concat(F.lit(" host 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7 up")))
+    )
+    seeded = docs.select("doc_id", F.concat(F.col("text"), pii).alias("text"))
+    return textstats.pii_redact(seeded)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language sampling quotas (md5 hash gate)."""
+    from ..operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    rates = {"en": 25, "fr": 80, "de": 55, "es": 10}
+    return sampling.stratified_sample(docs, rates).select("doc_id", "lang")
+
+
+def q_topk_per_lang(spark, sf_dir):
+    """Skew-safe two-phase per-group top-k: 5 longest docs per language
+    (ties by doc_id)."""
+    from ..operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    out = sampling.topk_per_group(
+        docs, ["lang"], [F.col("n_chars").desc(), F.col("doc_id").asc()], k=5
+    )
+    return out.select("lang", "doc_id", "n_chars", "rank")
+
+
+def q_events_asof(spark, sf_dir):
+    """As-of join: each click event stamped with the user's most recent
+    prior-or-simultaneous error event (id + value)."""
+    from ..operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        clicks, errors, on="user_id", order="ts", values=["event_id", "value"], tie="event_id"
+    )
+    # timestamps stay engine-internal: emit only bigint/double columns
+    return out.select(
+        F.col("event_id").alias("click_id"),
+        F.col("asof_event_id").alias("err_id"),
+        F.col("asof_value").alias("err_value"),
+    )
+
+
+def q_contradictions(spark, sf_dir):
+    """Signed-store consistency: orders whose status-signed and
+    priority-signed kg:open assertions conflict (t asserted + and −)."""
+    from ..operators.validate import find_contradictions
+
+    ds = kg_demo.orders_conflict_dataset(spark, sf_dir)
+    out = find_contradictions(ds.triples).select("s")
+    return decode_col(out, ds.terms, "s", "order_iri")
+
+
+def q_predicate_stats(spark, sf_dir):
+    """Graph shape stats driving the skew planner: per-predicate fact /
+    distinct-subject / distinct-object counts and max subject degree."""
+    from ..operators.stats import predicate_stats
+
+    ds = kg_demo.lineitem_rel_dataset(spark, sf_dir)
+    out = predicate_stats(ds.triples)
+    return decode_col(out, ds.terms, "p", "p_iri")

@@ -144,6 +144,36 @@ def _build_orders_signed_dataset(spark: SparkSession, sf_dir: str) -> Dataset:
     return encode_edges(spark, edges)
 
 
+def _build_orders_conflict_dataset(spark: SparkSession, sf_dir: str) -> Dataset:
+    """Signed store with genuine sign conflicts: each order asserts
+    (order://key, kg:open, "1") twice — once signed by order status,
+    once by priority class.  Orders where the two assertions disagree
+    carry BOTH (t, +) and (t, −): the `find_contradictions` fixture."""
+    orders = load(spark, sf_dir, "orders")
+
+    def edges(sign_col):
+        return orders.select(
+            F.concat(F.lit("order://"), F.col("o_orderkey")).alias("s_lex"),
+            F.lit(KG + "open").alias("p_lex"),
+            F.lit(KIND_LITERAL).alias("o_kind"),
+            F.lit("1").alias("o_lex"),
+            F.lit(XSD + "string").alias("o_dt"),
+            sign_col.alias("sign"),
+        )
+
+    e1 = edges(F.col("o_orderstatus") == "O")
+    e2 = edges(F.col("o_orderpriority").startswith("1-"))
+    return encode_edges(spark, e1.unionByName(e2))
+
+
+def orders_conflict_dataset(spark: SparkSession, sf_dir: str) -> Dataset:
+    return _cached_dataset(
+        spark,
+        ("orders_conflict", sf_dir),
+        lambda: _build_orders_conflict_dataset(spark, sf_dir),
+    )
+
+
 def _build_samever_dataset(spark: SparkSession, sf_dir: str) -> Dataset:
     """Literal-identity fixture for the Eq-merge flow: for each customer
     key v the DECIMAL literals "v" and "v'" are asserted kg:sameVal — a

@@ -1,0 +1,222 @@
+"""Unit tests for the round-5 pipeline operators: distributed prefix
+sum / sequence packing, as-of join, sampling, PII redaction, quality
+gate, signed-store contradictions, predicate stats."""
+
+import os
+import sys
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from inferdf_rs_spark import build_dataset, iri  # noqa: E402
+from inferdf_rs_spark.operators.asof import asof_join  # noqa: E402
+from inferdf_rs_spark.operators.packing import (  # noqa: E402
+    distributed_prefix_sum,
+    pack_sequences,
+)
+from inferdf_rs_spark.operators.sampling import (  # noqa: E402
+    stratified_sample,
+    topk_per_group,
+)
+from inferdf_rs_spark.operators.stats import predicate_stats  # noqa: E402
+from inferdf_rs_spark.operators.textstats import (  # noqa: E402
+    QUALITY_REASON_ALPHA_RATIO,
+    QUALITY_REASON_DISTINCT_RATIO,
+    QUALITY_REASON_MEAN_TOK_LEN,
+    QUALITY_REASON_TOO_FEW_TOKENS,
+    pii_redact,
+    quality_filter,
+)
+from inferdf_rs_spark.operators.validate import find_contradictions  # noqa: E402
+
+
+# ------------------------------------------------------- prefix sum / packing
+
+
+def test_prefix_sum_matches_sequential(spark):
+    # non-contiguous, unsorted keys; values include zeros
+    rows = [(k, (k * 7919) % 13) for k in [3, 100, 7, 42, 999, 0, 512, 17, 256, 64]]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r["k"]: r["cum"]
+        for r in distributed_prefix_sum(df, "k", "v", "cum", n_buckets=4).collect()
+    }
+    acc = 0
+    for k, v in sorted(rows):
+        acc += v
+        assert got[k] == acc, f"key {k}"
+
+
+def test_prefix_sum_bucket_count_invariance(spark):
+    rows = [(k, k % 5) for k in range(200)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    one = sorted(
+        (r["k"], r["cum"])
+        for r in distributed_prefix_sum(df, "k", "v", "cum", n_buckets=1).collect()
+    )
+    many = sorted(
+        (r["k"], r["cum"])
+        for r in distributed_prefix_sum(df, "k", "v", "cum", n_buckets=37).collect()
+    )
+    assert one == many
+
+
+def test_pack_sequences_boundaries(spark):
+    # budget 10: cumulative 4, 10, 14 -> packs 0, 0, 1; a zero-token doc
+    # rides with its predecessor's pack (and clamps at 0 when leading)
+    docs = spark.createDataFrame(
+        [
+            (0, ""),  # 0 tokens, cum 0 -> clamped pack 0
+            (1, "a b c d"),  # cum 4 -> pack 0
+            (2, "a b c d e f"),  # cum 10 -> pack 0 (boundary-inclusive)
+            (3, "x y z w"),  # cum 14 -> pack 1
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["cum_tokens"], r["pack_id"]) for r in pack_sequences(docs, budget=10).collect()}
+    assert got == {0: (0, 0), 1: (4, 0), 2: (10, 0), 3: (14, 1)}
+
+
+# ---------------------------------------------------------------- as-of join
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 250), (3, 20, 100), (4, 5, 999)],
+        "lid long, uid long, t long",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 100, 7, 1.0),  # exactly at left t=100 -> inclusive match
+            (10, 100, 9, 2.0),  # same ts: larger tie id wins
+            (10, 200, 11, 3.0),
+            (20, 50, 13, 4.0),
+        ],
+        "uid long, t long, rid long, val double",
+    )
+    out = {
+        r["lid"]: (r["asof_rid"], r["asof_val"])
+        for r in asof_join(
+            left, right, on="uid", order="t", values=["rid", "val"], tie="rid"
+        ).collect()
+    }
+    assert out[1] == (9, 2.0)  # inclusive tie, deterministic winner
+    assert out[2] == (11, 3.0)  # latest prior
+    assert out[3] == (13, 4.0)
+    assert out[4] == (None, None)  # no prior right row
+
+
+# ----------------------------------------------------------------- sampling
+
+
+def test_topk_per_group_equals_plain_window(spark):
+    # skewed: group "hot" has 500 rows, others 3
+    rows = [("hot", i, (i * 37) % 101) for i in range(500)]
+    rows += [(g, i, i) for g in ("a", "b") for i in range(3)]
+    df = spark.createDataFrame(rows, "g string, id long, score long")
+    order = [F.col("score").desc(), F.col("id").asc()]
+    got = sorted(
+        (r["g"], r["id"], r["rank"])
+        for r in topk_per_group(df, ["g"], order, k=4, n_salts=8).collect()
+    )
+    w = Window.partitionBy("g").orderBy(*order)
+    want = sorted(
+        (r["g"], r["id"], r["rank"])
+        for r in df.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 4)
+        .collect()
+    )
+    assert got == want
+
+
+def test_stratified_sample_deterministic_subset(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "fr") for i in range(300)], "doc_id long, lang string"
+    )
+    a = sorted(r["doc_id"] for r in stratified_sample(df, {"en": 30, "fr": 70}).collect())
+    b = sorted(r["doc_id"] for r in stratified_sample(df, {"en": 30, "fr": 70}).collect())
+    assert a == b and 0 < len(a) < 300
+    # rate monotonicity: a higher quota strictly contains the lower one
+    wider = sorted(r["doc_id"] for r in stratified_sample(df, {"en": 60, "fr": 90}).collect())
+    assert set(a) <= set(wider)
+
+
+# ---------------------------------------------------- text quality / PII
+
+
+def test_quality_filter_reason_bits(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over lazy dogs today"),  # clean
+            (1, "hi"),  # too few tokens
+            (2, "a b c d e f g h"),  # mean token len 1.0 < 2.0
+            (3, "1234 5678 9012 3456 7890"),  # alpha ratio 0
+            (4, "spam spam spam spam spam spam spam spam spam spam"),  # distinct 100m
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["keep"], r["reasons"]) for r in quality_filter(docs).collect()}
+    assert got[0] == (True, 0)
+    assert got[1][1] & QUALITY_REASON_TOO_FEW_TOKENS
+    assert got[2][1] & QUALITY_REASON_MEAN_TOK_LEN
+    assert got[3][1] & QUALITY_REASON_ALPHA_RATIO
+    assert got[4][1] & QUALITY_REASON_DISTINCT_RATIO
+    assert not any(got[i][0] for i in (1, 2, 3, 4))
+
+
+def test_pii_redact_multiple_hits(spark):
+    docs = spark.createDataFrame(
+        [(0, "mail a@b.com and c.d@e.org call 555-123-4567 from 10.0.0.1 ok")],
+        "doc_id long, text string",
+    )
+    r = pii_redact(docs).collect()[0]
+    assert r["n_email"] == 2 and r["n_phone"] == 1 and r["n_ipv4"] == 1
+    assert (
+        r["clean_text"]
+        == "mail <EMAIL> and <EMAIL> call <PHONE> from <IPV4> ok"
+    )
+
+
+# ------------------------------------------------- contradictions / stats
+
+
+def test_find_contradictions(spark):
+    ds = build_dataset(
+        spark,
+        [
+            (iri("a"), iri("p"), iri("x"), True),
+            (iri("a"), iri("p"), iri("x"), False),  # conflict
+            (iri("b"), iri("p"), iri("x"), True),
+            (iri("b"), iri("p"), iri("x"), True),  # same-sign dup: NOT a conflict
+            (iri("c"), iri("p"), iri("x"), False),
+        ],
+    )
+    bad = find_contradictions(ds.triples)
+    lex = (
+        bad.join(ds.terms, bad["s"] == ds.terms["term_id"])
+        .select("lexical")
+        .collect()
+    )
+    assert [r["lexical"] for r in lex] == ["a"]
+
+
+def test_predicate_stats_counts(spark):
+    ds = build_dataset(
+        spark,
+        [
+            (iri("s1"), iri("p1"), iri("o1")),
+            (iri("s1"), iri("p1"), iri("o2")),
+            (iri("s1"), iri("p1"), iri("o2")),  # duplicate row still counts
+            (iri("s2"), iri("p1"), iri("o1")),
+            (iri("s9"), iri("p2"), iri("o9")),
+        ],
+    )
+    out = {
+        r["p"]: (r["n_facts"], r["n_subjects"], r["n_objects"], r["max_s_degree"])
+        for r in predicate_stats(ds.triples).collect()
+    }
+    pid = {r["lexical"]: r["term_id"] for r in ds.terms.collect()}
+    assert out[pid["p1"]] == (4, 2, 2, 3)
+    assert out[pid["p2"]] == (1, 1, 1, 1)
