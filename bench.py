@@ -51,6 +51,14 @@ HEADLINE = [
     ("ann_lsh_auto", Q.q_ann_lsh_auto),
     ("embed_near_dup", Q.q_embed_near_dup),
     ("multimodal_features", Q.q_multimodal_features),
+    # r5 pipeline ops (docs/sec denominator stays the r4 8-query set so
+    # the throughput metric remains comparable across rounds)
+    ("pack_sequences", Q.q_pack_sequences),
+    ("quality_filter", Q.q_quality_filter),
+    ("pii_redact", Q.q_pii_redact),
+    ("events_asof", Q.q_events_asof),
+    ("contradictions", Q.q_contradictions),
+    ("predicate_stats", Q.q_predicate_stats),
 ]
 
 
