@@ -106,6 +106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": Q.q_events_asof,
         "contradictions": Q.q_contradictions,
         "predicate_stats": Q.q_predicate_stats,
+        "repetition": Q.q_repetition,
+        "sessionize": Q.q_sessionize,
     }
 
 
@@ -497,4 +499,17 @@ def oracle_sql() -> dict[str, str]:
         "(SELECT count(DISTINCT sk) FROM pairs)::BIGINT AS n_objects, "
         "(SELECT max(d) FROM deg)::BIGINT AS max_s_degree, "
         "'kg:rel' AS p_iri",
+        "repetition": f"WITH {_TS}, g AS (SELECT doc_id, toks, "
+        "CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) ELSE [] END AS g2, "
+        "CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [] END AS g3 "
+        "FROM ts) SELECT doc_id, "
+        "CASE WHEN len(toks) >= 2 THEN floor((len(g2) - len(list_distinct(g2))) * 1000 / len(g2))::BIGINT ELSE 0 END AS dup2_milli, "
+        "CASE WHEN len(toks) >= 3 THEN floor((len(g3) - len(list_distinct(g3))) * 1000 / len(g3))::BIGINT ELSE 0 END AS dup3_milli "
+        "FROM g",
+        "sessionize": "WITH o AS (SELECT event_id, user_id, ts, epoch_us(ts) AS us FROM events), "
+        "f AS (SELECT event_id, user_id, ts, "
+        "CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 900000000 THEN 1 ELSE 0 END AS ns "
+        "FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+        "SELECT event_id, user_id, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM f",
     }

@@ -148,6 +148,39 @@ def pii_redact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def repetition_features(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ns: tuple[int, ...] = (2, 3),
+) -> DataFrame:
+    """Gopher-style repetition gate inputs: per-n duplicate-n-gram
+    milli-fraction, ``floor(1000 * (total - distinct) / total)`` over
+    the doc's ordered n-grams (0 when the doc has < n tokens).
+
+    Map-only array arithmetic per row (JVM ``transform``/``slice``) —
+    no shuffle, no token explode; the n-gram lists live only inside the
+    projection, so nothing wide survives into downstream exchanges."""
+    toks = norm_tokens(F.col(text_col))
+    m = F.size(toks)
+
+    def dup_milli(n: int) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(m - n, F.lit(0)))
+        # NB: single-parameter lambda — a 2-arg lambda would be read by
+        # ``transform`` as its (element, index) form
+        grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        total = F.size(grams)
+        distinct = F.size(F.array_distinct(grams))
+        return (
+            F.when(m >= n, F.floor((total - distinct) * 1000 / total))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias(f"dup{n}_milli")
+        )
+
+    return docs.select(F.col(id_col), *[dup_milli(n) for n in ns])
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Content fingerprint: md5 of whitespace-normalized lowercase text."""
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")

@@ -565,3 +565,18 @@ def q_predicate_stats(spark, sf_dir):
     ds = kg_demo.lineitem_rel_dataset(spark, sf_dir)
     out = predicate_stats(ds.triples)
     return decode_col(out, ds.terms, "p", "p_iri")
+
+
+def q_repetition(spark, sf_dir):
+    """Gopher repetition gate: duplicate-bigram/trigram milli-fractions."""
+    return textstats.repetition_features(load(spark, sf_dir, "documents"))
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization: per-user 1-based session index with a
+    15-minute inactivity threshold."""
+    from ..operators.sessionize import sessionize
+
+    ev = load(spark, sf_dir, "events")
+    out = sessionize(ev, gap_seconds=900)
+    return out.select("event_id", "user_id", "session_idx")

@@ -220,3 +220,47 @@ def test_predicate_stats_counts(spark):
     pid = {r["lexical"]: r["term_id"] for r in ds.terms.collect()}
     assert out[pid["p1"]] == (4, 2, 2, 3)
     assert out[pid["p2"]] == (1, 1, 1, 1)
+
+
+# ------------------------------------------------- repetition / sessions
+
+
+def test_repetition_features_exact(spark):
+    from inferdf_rs_spark.operators.textstats import repetition_features
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b a"),  # bigrams 4 total / 2 distinct; trigrams 3/2
+            (1, "solo"),  # too short for any n-gram
+            (2, "x y"),  # 1 bigram, no dup; too short for trigram
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["dup2_milli"], r["dup3_milli"]) for r in repetition_features(docs).collect()}
+    assert got == {0: (500, 333), 1: (0, 0), 2: (0, 0)}
+
+
+def test_sessionize_gaps_and_ties(spark):
+    import datetime as dt
+
+    from inferdf_rs_spark.operators.sessionize import sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    ev = spark.createDataFrame(
+        [
+            (1, 10, at(0)),
+            (2, 10, at(100)),
+            (3, 10, at(2000)),  # 1900s gap > 900 -> new session
+            (4, 10, at(2100)),
+            (5, 20, at(0)),  # other user: independent numbering
+            (7, 30, at(50)),  # same-ts tie: event_id orders deterministically
+            (6, 30, at(50)),
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    got = {r["event_id"]: r["session_idx"] for r in sessionize(ev, gap_seconds=900).collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1, 6: 1, 7: 1}
