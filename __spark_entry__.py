@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "predicate_stats": Q.q_predicate_stats,
         "repetition": Q.q_repetition,
         "sessionize": Q.q_sessionize,
+        "nt_export": Q.q_nt_export,
     }
 
 
@@ -512,4 +513,6 @@ def oracle_sql() -> dict[str, str]:
         "FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
         "SELECT event_id, user_id, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM f",
+        "nt_export": "SELECT '<cust://' || c_custkey || '> <kg:from> <nation://' || c_nationkey || '> .' AS line FROM customer "
+        "UNION ALL SELECT '<nation://' || n_nationkey || '> <kg:in> <region://' || n_regionkey || '> .' FROM nation",
     }

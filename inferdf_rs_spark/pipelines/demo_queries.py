@@ -580,3 +580,12 @@ def q_sessionize(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     out = sessionize(ev, gap_seconds=900)
     return out.select("event_id", "user_id", "session_idx")
+
+
+def q_nt_export(spark, sf_dir):
+    """RDF interop: the geo KG serialized as standard N-Triples lines
+    (sources/ntriples.py; reference terms' lexical forms ARE the
+    N-Triples forms, README.md:9-13)."""
+    from ..sources.ntriples import to_ntriples
+
+    return to_ntriples(kg_demo.geo_dataset(spark, sf_dir))
