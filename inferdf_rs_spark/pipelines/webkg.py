@@ -392,12 +392,30 @@ def write_graph(
     # run a count() over the store
     from ..sources.registry import parquet_row_count
 
+    # per-partition metrics (north rule: per-partition lineage + metrics
+    # rows): rows/bytes/files per predicate bucket, straight from the
+    # written footers/inodes — the skew report a production run feeds
+    # back into the next run's salt histogram and bucket count
+    tri_dir = os.path.join(out_dir, "triples")
+    partitions = {}
+    for d in sorted(os.listdir(tri_dir)):
+        if not d.startswith("p_bucket="):
+            continue
+        pdir = os.path.join(tri_dir, d)
+        files = [n for n in os.listdir(pdir) if n.endswith(".parquet")]
+        partitions[int(d.split("=", 1)[1])] = {
+            "rows": parquet_row_count(pdir),
+            "bytes": sum(os.path.getsize(os.path.join(pdir, n)) for n in files),
+            "files": len(files),
+        }
+
     with open(os.path.join(out_dir, "graph_meta.json"), "w") as f:
         json.dump(
             {
                 "n_p_buckets": n_buckets,
-                "n_triples": parquet_row_count(os.path.join(out_dir, "triples")),
+                "n_triples": parquet_row_count(tri_dir),
                 "n_terms": parquet_row_count(os.path.join(out_dir, "terms")),
+                "partitions": partitions,
             },
             f,
         )

@@ -363,6 +363,18 @@ def test_write_graph_skewed_predicates_balanced_writers(spark, tmp_path):
     assert len(all_files) <= 3 * 8, f"{len(all_files)} files — fan-out not bounded"
     assert read_graph(spark, out).triples.count() == 50_000
 
+    # per-partition metrics in graph_meta: rows sum to the table, the
+    # skew is visible (hub bucket carries ~95%), bytes/files populated
+    import json
+
+    with open(f"{out}/graph_meta.json") as f:
+        meta = json.load(f)
+    parts = meta["partitions"]
+    assert sum(p["rows"] for p in parts.values()) == 50_000
+    assert parts[str(hub % 16)]["rows"] == 47_500
+    assert all(p["bytes"] > 0 and p["files"] >= 1 for p in parts.values())
+    assert parts[str(hub % 16)]["files"] == len(hub_files)
+
 
 def test_write_graph_empty_store(spark, tmp_path):
     from inferdf_rs_spark.pipelines.webkg import read_graph, write_graph
