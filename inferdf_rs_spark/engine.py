@@ -146,6 +146,19 @@ class System:
             self.spark, ds.triples, ds.terms, self.rules, self.const_ids(), self.functions, **kw
         )
 
+    def retract(self, ds: Dataset, retracted: DataFrame, **kw) -> FixpointResult:
+        """DRed incremental retraction (operators/retract.py): remove the
+        given stated facts from a CLOSED dataset and restore the exact
+        fixpoint of the surviving stated facts — without recomputing the
+        closure from scratch.  The reference store never deletes
+        (src/dataset.rs:24-38); this is the maintenance extension a
+        long-lived materialized graph needs."""
+        from .operators.retract import retract as _retract
+
+        return _retract(
+            self.spark, ds.triples, ds.terms, self.rules, self.const_ids(), retracted, **kw
+        )
+
     def fixpoint_merged(self, ds: Dataset, **kw):
         """Fixpoint, then resolve the accumulated Eq statements the way
         the reference couples deduction with interpretation merging

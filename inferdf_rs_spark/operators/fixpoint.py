@@ -208,6 +208,7 @@ def fixpoint(
     initial_delta: DataFrame | None = None,
     allow_partial: bool = False,
     store_rows: int | None = None,
+    initial_round: int = 0,
 ) -> FixpointResult:
     """Run deduce→insert to fixpoint (U3/U4 + J2/J3).
 
@@ -279,6 +280,12 @@ def fixpoint(
             store_rows += sum(m.get("new_facts", 0) for m in metrics)
     else:
         delta = initial_delta  # None ⇒ round 1 = full deduce
+        # round numbers start above initial_round: the retraction path
+        # (operators/retract.py) re-derives facts into a store whose
+        # retained facts keep their original rounds — new rounds must sit
+        # strictly ABOVE them or the explain walk's strict round-decrease
+        # invariant breaks on rederived lineage
+        start_round = initial_round
 
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     tracker = CheckpointTracker(spark)
