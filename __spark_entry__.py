@@ -59,6 +59,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deduce_geo": Q.q_deduce_geo,
         "antijoin_new_facts": Q.q_antijoin_new_facts,
         "fixpoint_tc": Q.q_fixpoint_tc,
+        # DRed delete-rederive: incremental retraction of a stated edge
+        # from the closed chain, vs the oracle's from-scratch closure of
+        # the surviving edges
+        "retract_tc": Q.q_retract_tc,
         "eq_closure_chain": Q.q_eq_closure_chain,
         # Eq statements end-to-end: rule-emitted Eq → fixpoint side table
         # → closure → merged facet view → AmbiguousLiteral surfacing
@@ -82,6 +86,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_corpus": Q.q_dedup_corpus,
         "simhash": Q.q_simhash,
         "ngram_jaccard": Q.q_ngram_jaccard,
+        # benchmark decontamination: 3-gram overlap vs the doc_id%97
+        # eval split — per-doc hit counts + the surviving corpus
+        "decontam_hits": Q.q_decontam_hits,
+        "decontam_corpus": Q.q_decontam_corpus,
         # text analysis
         "token_count": Q.q_token_count,
         "quality": Q.q_quality,
@@ -327,6 +335,14 @@ def oracle_sql() -> dict[str, str]:
         "tc(a, b) AS (SELECT a, b FROM e "
         "UNION SELECT tc.a, e.b FROM tc JOIN e ON tc.b = e.a) "
         "SELECT 'n://' || a AS a_iri, 'n://' || b AS b_iri FROM tc",
+        # retraction == from-scratch closure of the edges minus (12, 13)
+        "retract_tc": "WITH RECURSIVE e(a, b) AS ("
+        "SELECT n_nationkey, n_nationkey + 1 FROM nation "
+        "WHERE n_nationkey < (SELECT max(n_nationkey) FROM nation) "
+        "AND n_nationkey <> 12), "
+        "tc(a, b) AS (SELECT a, b FROM e "
+        "UNION SELECT tc.a, e.b FROM tc JOIN e ON tc.b = e.a) "
+        "SELECT 'n://' || a AS a_iri, 'n://' || b AS b_iri FROM tc",
         # one-hop provenance: each deduced locatedIn fact has exactly one
         # derivation (customer->nation->region are functional), so the
         # winning substitution — and both reconstructed premises — are
@@ -390,6 +406,22 @@ def oracle_sql() -> dict[str, str]:
         "AS jaccard_micro "
         "FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 "
         "WHERE len(list_distinct(list_concat(a.shingles, b.shingles))) > 0",
+        # benchmark decontamination (operators/decontaminate.py): shingle
+        # dedup inside a doc makes count(*) the distinct-hit count
+        "decontam_hits": f"WITH {_TS}, {_shingles(3)}, "
+        "bg AS (SELECT DISTINCT unnest(shingles) AS gram FROM sh "
+        "WHERE doc_id % 97 = 0), "
+        "cg AS (SELECT doc_id, unnest(shingles) AS gram FROM sh "
+        "WHERE doc_id % 97 <> 0) "
+        "SELECT doc_id, count(*)::BIGINT AS n_hits "
+        "FROM cg JOIN bg USING (gram) GROUP BY doc_id",
+        "decontam_corpus": f"WITH {_TS}, {_shingles(3)}, "
+        "bg AS (SELECT DISTINCT unnest(shingles) AS gram FROM sh "
+        "WHERE doc_id % 97 = 0), "
+        "cg AS (SELECT doc_id, unnest(shingles) AS gram FROM sh "
+        "WHERE doc_id % 97 <> 0) "
+        "SELECT doc_id FROM documents WHERE doc_id % 97 <> 0 "
+        "AND doc_id NOT IN (SELECT DISTINCT doc_id FROM cg JOIN bg USING (gram))",
         # ----- text analysis
         "token_count": f"WITH {_TS} SELECT doc_id, len(toks) AS n_tokens FROM ts",
         "quality": _QUALITY_FEATURES_SQL,

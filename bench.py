@@ -34,6 +34,7 @@ HEADLINE = [
     ("deduce_geo", Q.q_deduce_geo),
     ("antijoin_new_facts", Q.q_antijoin_new_facts),
     ("fixpoint_tc", Q.q_fixpoint_tc),
+    ("retract_tc", Q.q_retract_tc),
     ("eq_closure_chain", Q.q_eq_closure_chain),
     ("explain_tc_support", Q.q_explain_tc_support),
     ("eq_merge_ambiguity", Q.q_eq_merge_ambiguity),
@@ -53,6 +54,7 @@ HEADLINE = [
     ("multimodal_features", Q.q_multimodal_features),
     # r5 pipeline ops (docs/sec denominator stays the r4 8-query set so
     # the throughput metric remains comparable across rounds)
+    ("decontam_corpus", Q.q_decontam_corpus),
     ("pack_sequences", Q.q_pack_sequences),
     ("quality_filter", Q.q_quality_filter),
     ("pii_redact", Q.q_pii_redact),

@@ -156,6 +156,36 @@ def q_fixpoint_tc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_col(out, terms, "o", "b_iri")
 
 
+def q_retract_tc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRed incremental retraction (operators/retract.py): close the
+    nation chain under the 2-hop composition rule, retract the stated
+    mid-chain edge n://12 → n://13, and return the incrementally
+    restored closure — which must equal the from-scratch closure of the
+    surviving edges (the oracle's recursive CTE).  The reference store
+    is insert-only (src/dataset.rs:24-38); this is the maintenance
+    extension a long-lived materialized graph needs."""
+    from ..engine import build_dataset
+
+    ds = kg_demo.chain_dataset(spark, sf_dir)
+    r = rule(
+        variables=3,
+        hypothesis=[
+            pat("+", v(0), iri(KG + "next"), v(1)),
+            pat("+", v(1), iri(KG + "next"), v(2)),
+        ],
+        statements=[stmt_triple("+", v(0), iri(KG + "next"), v(2))],
+    )
+    sysm = System(spark, [r])
+    closed = sysm.fixpoint(ds)
+    pair = build_dataset(spark, [(iri("n://12"), iri(KG + "next"), iri("n://13"))])
+    res = sysm.retract(
+        Dataset(closed.store, closed.terms), pair.triples.select("s", "p", "o", "sign")
+    )
+    terms = res.terms.unionByName(sysm.rule_constants_terms()).dropDuplicates(["term_id"])
+    out = decode_col(res.store.select("s", "o"), terms, "s", "a_iri")
+    return decode_col(out, terms, "o", "b_iri")
+
+
 def q_explain_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Provenance, one hop (reference Cause::Entailed →
     Entailment{rule, substitution}, src/cause.rs:9-40): every deduced
@@ -589,3 +619,29 @@ def q_nt_export(spark, sf_dir):
     from ..sources.ntriples import to_ntriples
 
     return to_ntriples(kg_demo.geo_dataset(spark, sf_dir))
+
+
+def q_decontam_hits(spark, sf_dir):
+    """Benchmark decontamination probe (operators/decontaminate.py):
+    docs whose id is divisible by 97 play the eval benchmark; every
+    other doc is training corpus.  Returns each corpus doc's count of
+    distinct 3-grams shared with the benchmark."""
+    from ..operators.decontaminate import contamination_hits
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_hits(corpus, bench, n=3).withColumn(
+        "n_hits", F.col("n_hits").cast("long")
+    )
+
+
+def q_decontam_corpus(spark, sf_dir):
+    """The surviving training corpus after dropping every doc with >= 1
+    shared 3-gram (broadcast anti-join on the flagged-id list)."""
+    from ..operators.decontaminate import decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(corpus, bench, n=3, min_hits=1).select("doc_id")

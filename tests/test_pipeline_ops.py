@@ -264,3 +264,47 @@ def test_sessionize_gaps_and_ties(spark):
     )
     got = {r["event_id"]: r["session_idx"] for r in sessionize(ev, gap_seconds=900).collect()}
     assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1, 6: 1, 7: 1}
+
+
+# ------------------------------------------------------- decontamination
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_decontaminate_threshold_and_partition(spark):
+    from inferdf_rs_spark.operators.decontaminate import (
+        contamination_hits,
+        decontaminate,
+    )
+
+    bench = _docs_df(spark, [(100, "the quick brown fox jumps over the lazy dog")])
+    corpus = _docs_df(
+        spark,
+        [
+            (1, "a quick brown fox ran away"),        # 1 shared 3-gram
+            (2, "the quick brown fox jumps high"),    # 3 shared 3-grams
+            (3, "entirely unrelated text body here"), # 0
+        ],
+    )
+    hits = {r.doc_id: r.n_hits for r in contamination_hits(corpus, bench, n=3).collect()}
+    assert hits == {1: 1, 2: 3}
+
+    # min_hits partitions the corpus: survivors + flagged == corpus
+    surv1 = {r.doc_id for r in decontaminate(corpus, bench, n=3, min_hits=1).collect()}
+    assert surv1 == {3}
+    surv2 = {r.doc_id for r in decontaminate(corpus, bench, n=3, min_hits=2).collect()}
+    assert surv2 == {1, 3}
+
+
+def test_decontaminate_plan_broadcasts_both_sides(spark):
+    """The probe join and the final anti-join must both broadcast — the
+    corpus side never shuffles."""
+    from inferdf_rs_spark.operators.decontaminate import decontaminate
+
+    bench = _docs_df(spark, [(100, "alpha beta gamma delta")])
+    corpus = _docs_df(spark, [(1, "alpha beta gamma epsilon"), (2, "zeta eta theta iota")])
+    plan = decontaminate(corpus, bench)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
