@@ -101,6 +101,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": Q.q_ann_lsh,  # deterministic integer LSH — fully oracled
         "ann_lsh_auto": Q.q_ann_lsh_auto,  # corpus-size-derived (planes, tables, probes)
         "embed_near_dup": Q.q_embed_near_dup,  # embedding-cosine dedup
+        # k-means family (integer-exact Lloyd): IVF is the classic
+        # alternative to LSH bucketing; SemDeDup = semantic dedup
+        "kmeans_assign": Q.q_kmeans_assign,
+        "ann_ivf": Q.q_ann_ivf,
+        "semantic_dedup": Q.q_semantic_dedup,
         # multimodal plumbing (deterministic stub decode — oracled)
         "multimodal_features": Q.q_multimodal_features,
         "multimodal_frames": Q.q_multimodal_frames,
@@ -211,6 +216,54 @@ _COMP_CTES = (
     "lbl(x, rep) AS (SELECT x, least(x, min(y)) FROM edges GROUP BY x "
     "UNION SELECT e.x, l.rep FROM edges e JOIN lbl l ON l.x = e.y), "
     "comp AS (SELECT x AS doc_id, min(rep) AS rep_id FROM lbl GROUP BY x) "
+)
+
+
+# k-means oracle fragments (operators/clustering.py): two Lloyd
+# iterations in exact milli-int arithmetic — quantize, assign by
+# (distance, centroid-index), update centroids as floor(sum/count)
+# (exact: |sum| << 2^53 and non-integer quotients sit >= 1/count from an
+# integer), with emptied clusters keeping their previous centroid.
+# a3/c2 = final assignment / final centroids, shared by kmeans_assign,
+# ann_ivf and semantic_dedup.
+_KM_DIST = (
+    "list_sum(list_transform(range(1, len({v})+1), "
+    "i -> ({v}[i]-{c}[i])*({v}[i]-{c}[i])))"
+)
+
+
+def _km_assign(name: str, centers: str) -> str:
+    d = _KM_DIST.format(v="mv.v", c=f"{centers}.ctr")
+    return (
+        f"{name} AS (SELECT vec_id, v, c AS cl FROM ("
+        f"SELECT mv.vec_id, mv.v, {centers}.c, "
+        f"row_number() OVER (PARTITION BY mv.vec_id ORDER BY {d}, {centers}.c) AS rn "
+        f"FROM mv, {centers}) WHERE rn = 1)"
+    )
+
+
+def _km_update(aname: str, prev: str, out: str) -> str:
+    return (
+        f"{out}_s AS (SELECT cl, pos, CAST(floor(sum(val)::DOUBLE / count(*)) AS BIGINT) AS cv "
+        f"FROM (SELECT cl, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM {aname}) "
+        f"GROUP BY cl, pos), "
+        f"{out} AS (SELECT p.c, COALESCE(n.ctr, p.ctr) AS ctr FROM {prev} p LEFT JOIN "
+        f"(SELECT cl AS c, list(cv ORDER BY pos) AS ctr FROM {out}_s GROUP BY cl) n USING (c))"
+    )
+
+
+_KMEANS_CTES = ", ".join(
+    [
+        "mv AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS v FROM embeddings)",
+        "c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS ctr "
+        "FROM (SELECT vec_id, v FROM mv ORDER BY vec_id LIMIT 8))",
+        _km_assign("a1", "c0"),
+        _km_update("a1", "c0", "c1"),
+        _km_assign("a2", "c1"),
+        _km_update("a2", "c1", "c2"),
+        _km_assign("a3", "c2"),
+    ]
 )
 
 
@@ -461,6 +514,31 @@ def oracle_sql() -> dict[str, str]:
         "JOIN embeddings qb ON qb.vec_id = id_b) "
         "SELECT id_a, id_b, floor(cos * 1000000)::BIGINT AS cosine_micro "
         "FROM ver WHERE cos >= 0.4",
+        # ----- k-means family: shared a3 (assignments) / c2 (centroids)
+        "kmeans_assign": f"WITH {_KMEANS_CTES} "
+        "SELECT vec_id, cl::INT AS cluster FROM a3",
+        "ann_ivf": f"WITH {_KMEANS_CTES}, "
+        "qp AS (SELECT query_id, qvec, c AS cluster FROM ("
+        "SELECT q.vec_id AS query_id, q.v AS qvec, c2.c, "
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+        + _KM_DIST.format(v="q.v", c="c2.ctr")
+        + ", c2.c) AS rn "
+        "FROM (SELECT vec_id, v FROM a3 WHERE vec_id IN (0,1,2,3,4)) q, c2) "
+        "WHERE rn <= 2), "
+        "cand AS (SELECT qp.query_id, a3.vec_id AS neighbor_id, "
+        + _KM_DIST.format(v="a3.v", c="qp.qvec")
+        + "::BIGINT AS d "
+        "FROM qp JOIN a3 ON a3.cl = qp.cluster AND a3.vec_id <> qp.query_id) "
+        "SELECT query_id, neighbor_id, rank, d AS dist_milli2 FROM ("
+        "SELECT query_id, neighbor_id, d, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY d, neighbor_id) AS rank FROM cand) "
+        "WHERE rank <= 10",
+        "semantic_dedup": f"WITH {_KMEANS_CTES}, "
+        "dropped AS (SELECT DISTINCT a.vec_id FROM a3 a JOIN a3 b "
+        "ON a.cl = b.cl AND b.vec_id < a.vec_id AND "
+        + _KM_DIST.format(v="a.v", c="b.v")
+        + " <= 1400000) "
+        "SELECT vec_id FROM a3 WHERE vec_id NOT IN (SELECT vec_id FROM dropped)",
         "ann_lsh": _ann_lsh_sql(_LSH_N_TABLES, _LSH_N_PLANES, hamming=2),
         # the auto oracle derives its parameterization from the SAME
         # model call the engine makes at the sf0.01 gate (n=500

@@ -51,6 +51,8 @@ HEADLINE = [
     ("ann_lsh", Q.q_ann_lsh),
     ("ann_lsh_auto", Q.q_ann_lsh_auto),
     ("embed_near_dup", Q.q_embed_near_dup),
+    ("ann_ivf", Q.q_ann_ivf),
+    ("semantic_dedup", Q.q_semantic_dedup),
     ("multimodal_features", Q.q_multimodal_features),
     # r5 pipeline ops (docs/sec denominator stays the r4 8-query set so
     # the throughput metric remains comparable across rounds)

@@ -645,3 +645,41 @@ def q_decontam_corpus(spark, sf_dir):
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
     return decontaminate(corpus, bench, n=3, min_hits=1).select("doc_id")
+
+
+def _kmeans_centers(spark, sf_dir):
+    """Shared deterministic k-means model for the clustering queries:
+    k=8, two Lloyd iterations, exact milli-int arithmetic (bit-identical
+    to the oracle's CTE chain)."""
+    from ..operators.clustering import kmeans_fit
+
+    return kmeans_fit(load(spark, sf_dir, "embeddings"), k=8, iters=2)
+
+
+def q_kmeans_assign(spark, sf_dir):
+    """Distributed k-means (operators/clustering.py): nearest-centroid
+    assignment after two Lloyd iterations — broadcast centroids,
+    map-only assignment, integer-exact ties."""
+    from ..operators.clustering import kmeans_assign
+
+    emb = load(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, _kmeans_centers(spark, sf_dir))
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN: each query probes its 2 nearest centroids' clusters
+    only, exact integer re-rank inside the candidate set."""
+    from ..operators.clustering import ann_ivf
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = ann_ivf(emb, _kmeans_centers(spark, sf_dir), ANN_QUERY_IDS, k=10, nprobe=2)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup: drop vectors with a lower-id near-identical neighbor
+    (squared milli-distance <= 1.4e6) in the same k-means cluster."""
+    from ..operators.clustering import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, _kmeans_centers(spark, sf_dir), max_dist_milli2=1_400_000)

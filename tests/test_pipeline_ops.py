@@ -308,3 +308,49 @@ def test_decontaminate_plan_broadcasts_both_sides(spark):
     plan = decontaminate(corpus, bench)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+# ------------------------------------------------------- k-means / IVF
+
+
+def test_kmeans_deterministic_and_partitioning(spark):
+    from inferdf_rs_spark.operators.clustering import kmeans_assign, kmeans_fit
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c1 = kmeans_fit(emb, k=4, iters=2)
+    c2 = kmeans_fit(emb, k=4, iters=2)
+    assert c1 == c2  # integer-exact Lloyd is bit-reproducible
+    a = kmeans_assign(emb, c1)
+    rows = a.collect()
+    assert len(rows) == emb.count()
+    assert {r.cluster for r in rows} <= set(range(4))
+
+
+def test_ann_ivf_recall_vs_brute_force(spark):
+    from inferdf_rs_spark.operators.clustering import ann_ivf, kmeans_fit
+    from inferdf_rs_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    centers = kmeans_fit(emb, k=8, iters=2)
+    ivf = ann_ivf(emb, centers, qids, k=10, nprobe=2)
+    exact = brute_force_topk(emb, qids, k=10)
+    ivf_n = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    ex_n = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    recall = len(ivf_n & ex_n) / len(ex_n)
+    # labeled synthetic clusters: 2-probe IVF recovers most exact
+    # neighbors (cosine vs L2 ranking differ slightly — bound, not equality)
+    assert recall >= 0.7, recall
+
+
+def test_semantic_dedup_keeps_min_id_rep(spark):
+    from inferdf_rs_spark.operators.clustering import kmeans_fit, semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # duplicate vec 7 under a fresh higher id: the copy must drop, 7 stays
+    dup = emb.filter(F.col("vec_id") == 7).withColumn("vec_id", F.lit(100000))
+    both = emb.unionByName(dup)
+    centers = kmeans_fit(emb, k=4, iters=2)
+    kept = {r.vec_id for r in semantic_dedup(both, centers, max_dist_milli2=0).collect()}
+    assert 7 in kept and 100000 not in kept
+    assert kept == {r.vec_id for r in emb.select("vec_id").collect()}
