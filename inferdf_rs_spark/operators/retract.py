@@ -121,8 +121,15 @@ def retract(
         spark, survivors, terms, list(enumerate(rules)), const_ids, None, 0, None
     )
     max_round = survivors.agg(F.coalesce(F.max("round"), F.lit(0))).first()[0]
+    # mirror the insert fixpoint's sign discipline: negative conclusions
+    # are rederived only when the propagation step will also insert them
+    deduced = (
+        c.triples
+        if fixpoint_kw.get("insert_negatives", False)
+        else c.triples.filter(F.col("sign"))
+    )
     rederived = (
-        c.triples.filter(F.col("sign"))
+        deduced
         .select(*NARROW_COLS)
         .join(deleted, on=TRIPLE_KEY, how="left_semi")
         .groupBy(*TRIPLE_KEY)

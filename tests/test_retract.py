@@ -118,3 +118,32 @@ def test_retract_rejects_unsupported_conclusions(spark):
         sysm = System(spark, [r])
         with pytest.raises(NotImplementedError):
             sysm.retract(ds, empty)
+
+
+def test_retract_negative_conclusions_with_insert_negatives(spark):
+    from inferdf_rs_spark.rules import stmt_triple as st
+
+    # {?x next ?y} => {-(?y next ?x)}: retracting one stated edge in a
+    # diamond must keep the negative fact derivable from the other edge
+    neg_rule = rule(
+        variables=2,
+        hypothesis=[pat("+", v(0), NEXT, v(1))],
+        statements=[st("-", v(1), NEXT, v(0))],
+    )
+    ds = build_dataset(spark, _edges([("a", "b"), ("a", "c")]))
+    sysm = System(spark, [neg_rule])
+    closed = sysm.fixpoint(ds, insert_negatives=True)
+
+    after = _retract_edge_kw(spark, sysm, closed, "a", "b", insert_negatives=True)
+    scratch = System(spark, [neg_rule]).fixpoint(
+        build_dataset(spark, _edges([("a", "c")])), insert_negatives=True
+    )
+    assert _keyset(after.store, after.terms) == _keyset(scratch.store, scratch.terms)
+    # the surviving edge's negative conclusion is present
+    assert (EX + "c", EX + "next", EX + "a", False) in _keyset(after.store, after.terms)
+
+
+def _retract_edge_kw(spark, sysm, res, a, b, **kw):
+    pair = build_dataset(spark, _edges([(a, b)]))
+    keys = pair.triples.select("s", "p", "o", "sign")
+    return sysm.retract(Dataset(res.store, res.terms), keys, **kw)
