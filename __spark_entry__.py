@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # eval split — per-doc hit counts + the surviving corpus
         "decontam_hits": Q.q_decontam_hits,
         "decontam_corpus": Q.q_decontam_corpus,
+        # DoReMi-style mixture resampling: exact-integer hash gate
+        "resample_mix": Q.q_resample_mix,
         # text analysis
         "token_count": Q.q_token_count,
         "quality": Q.q_quality,
@@ -475,6 +477,18 @@ def oracle_sql() -> dict[str, str]:
         "WHERE doc_id % 97 <> 0) "
         "SELECT doc_id FROM documents WHERE doc_id % 97 <> 0 "
         "AND doc_id NOT IN (SELECT DISTINCT doc_id FROM cg JOIN bg USING (gram))",
+        # mixture resampling (operators/sampling.py resample_to_mix):
+        # same exact-integer plan arithmetic — W = sum of weights,
+        # T = min_s floor(n_s*W/w_s), keep when h % (W*n_s) < w_s*T
+        "resample_mix": "WITH c AS (SELECT source, count(*) AS n, "
+        "(CAST(substr(source, 4) AS INT) % 4) + 1 AS w "
+        "FROM documents GROUP BY source), "
+        "t1 AS (SELECT sum(w)::BIGINT AS tot FROM c), "
+        "t AS (SELECT tot, (SELECT min(n * t1.tot // w) FROM c)::BIGINT AS cap "
+        "FROM t1) "
+        "SELECT d.doc_id, d.source FROM documents d JOIN c USING (source), t "
+        "WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT "
+        "% (t.tot * c.n) < c.w * t.cap",
         # ----- text analysis
         "token_count": f"WITH {_TS} SELECT doc_id, len(toks) AS n_tokens FROM ts",
         "quality": _QUALITY_FEATURES_SQL,

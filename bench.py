@@ -59,6 +59,7 @@ HEADLINE = [
     ("decontam_corpus", Q.q_decontam_corpus),
     ("pack_sequences", Q.q_pack_sequences),
     ("quality_filter", Q.q_quality_filter),
+    ("resample_mix", Q.q_resample_mix),
     ("pii_redact", Q.q_pii_redact),
     ("events_asof", Q.q_events_asof),
     ("contradictions", Q.q_contradictions),

@@ -80,3 +80,54 @@ def topk_per_group(
         .filter(F.col("rank") <= k)
         .withColumn("rank", F.col("rank").cast("long"))
     )
+
+
+def resample_to_mix(
+    docs: DataFrame,
+    weights: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic mixture resampling (DoReMi-style domain
+    reweighting at the data level): downsample each source so the
+    OUTPUT source distribution is proportional to integer ``weights``,
+    keeping as much data as the most-constrained source allows.
+
+    With W = sum of weights over present sources, the largest feasible
+    output is T = min_s floor(n_s * W / w_s); source s keeps documents
+    whose 60-bit md5 hash satisfies ``h % (W * n_s) < w_s * T`` — an
+    exact-integer, order-free gate (expected kept per source =
+    w_s * T / W), reproducible in DuckDB.  Zero-weight sources drop.
+
+    Scale shape: one tiny per-source count aggregate (the catalog-stats
+    stand-in), then a broadcast join of the (source, modulus,
+    threshold) plan — the corpus itself is filtered map-only and never
+    shuffles.  Sources absent from ``weights`` raise (silent drops of
+    an unknown domain would skew the mix unnoticed).
+    """
+    from .dedup import md5_int
+
+    counts = {
+        r["_s"]: r["_n"]
+        for r in docs.groupBy(F.col(source_col).alias("_s"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    }
+    missing = sorted(set(counts) - set(weights))
+    if missing:
+        raise ValueError(f"resample_to_mix: no weight for sources {missing}")
+    W = sum(int(weights[s]) for s in counts)
+    pos = {s: int(weights[s]) for s in counts if weights[s] > 0}
+    if not pos or W <= 0:
+        raise ValueError("resample_to_mix: need at least one positive weight")
+    T = min(counts[s] * W // w for s, w in pos.items())
+    plan = docs.sparkSession.createDataFrame(
+        [(s, W * counts[s], w * T) for s, w in pos.items()],
+        f"{source_col} string, _mod long, _thr long",
+    )
+    h = md5_int(F.col(id_col).cast("string"))
+    return (
+        docs.join(F.broadcast(plan), on=source_col)
+        .filter(F.pmod(h, F.col("_mod")) < F.col("_thr"))
+        .drop("_mod", "_thr")
+    )

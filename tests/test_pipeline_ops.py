@@ -354,3 +354,40 @@ def test_semantic_dedup_keeps_min_id_rep(spark):
     kept = {r.vec_id for r in semantic_dedup(both, centers, max_dist_milli2=0).collect()}
     assert 7 in kept and 100000 not in kept
     assert kept == {r.vec_id for r in emb.select("vec_id").collect()}
+
+
+# ------------------------------------------------------- mixture resampling
+
+
+def test_resample_to_mix_proportions_and_guard(spark):
+    import pytest as _pytest
+
+    from inferdf_rs_spark.operators.sampling import resample_to_mix
+
+    rows = [(i, f"s{i % 3}") for i in range(3000)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = resample_to_mix(docs, {"s0": 2, "s1": 1, "s2": 1}).collect()
+    by_src = {}
+    for r in out:
+        by_src[r.source] = by_src.get(r.source, 0) + 1
+    # W=4, n_s=1000, T=min(1000*4//2, 1000*4//1)=2000; targets 1000/500/500
+    assert by_src["s0"] == 1000  # bottleneck source keeps everything
+    for s in ("s1", "s2"):  # hash gate: expected 500, binomial spread
+        assert 400 <= by_src[s] <= 600, by_src
+    # determinism
+    out2 = resample_to_mix(docs, {"s0": 2, "s1": 1, "s2": 1}).collect()
+    assert sorted(r.doc_id for r in out) == sorted(r.doc_id for r in out2)
+    # zero-weight source drops entirely
+    none = resample_to_mix(docs, {"s0": 1, "s1": 1, "s2": 0}).collect()
+    assert not [r for r in none if r.source == "s2"]
+    # unknown source raises instead of silently skewing the mix
+    with _pytest.raises(ValueError):
+        resample_to_mix(docs, {"s0": 1, "s1": 1})
+
+
+def test_resample_to_mix_plan_is_broadcast_mapside(spark):
+    from inferdf_rs_spark.operators.sampling import resample_to_mix
+
+    docs = spark.createDataFrame([(i, f"s{i % 2}") for i in range(100)], "doc_id long, source string")
+    plan = resample_to_mix(docs, {"s0": 1, "s1": 3})._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
