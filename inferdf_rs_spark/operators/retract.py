@@ -151,7 +151,7 @@ def retract(
 
     # ---- 3. propagate (standard insert fixpoint, delta-seeded) -------
     base = survivors.unionByName(rederived)
-    return fixpoint(
+    res = fixpoint(
         spark,
         base,
         terms,
@@ -162,3 +162,9 @@ def retract(
         max_rounds=max_round + 1 + max_rounds,
         **fixpoint_kw,
     )
+    # the survivors/rederived checkpoints back the returned store's
+    # lineage — hand their blocks to the result so release() frees them
+    # (a long-running caller, e.g. streaming retraction, must not leak
+    # one survivors copy per call)
+    res.cache_ids |= tracker.ids
+    return res

@@ -111,6 +111,36 @@ class StreamingGraph:
         if self.commit_every and self.batches % self.commit_every == 0:
             self.publish()
 
+    def retract_batch(self, retracted: DataFrame) -> None:
+        """Remove stated facts mid-stream: DRed incremental retraction
+        (operators/retract.py) over the accumulated closed store, with
+        the same one-generation cache swap as ``process_batch`` — the
+        pool still holds exactly one (store, terms, eqs, trues) between
+        batches.  ``retracted`` carries the TRIPLE_KEY columns.  A later
+        ``process_batch`` re-delivering a retracted fact sees it absent
+        from the store and re-inserts it as a genuine delta (the
+        retract/re-add round-trip is exact, pinned by pytest)."""
+        from ..operators.retract import retract as _retract
+
+        if self.store is None:
+            return
+        res = _retract(
+            self.spark,
+            self.store,
+            self.terms,
+            self.system.rules,
+            self.system.const_ids(),
+            retracted,
+        )
+        old_gen = self._gen_ids
+        self.store, ids_s = self._tracker.checkpoint(res.store)
+        self.terms, ids_t = self._tracker.checkpoint(res.terms)
+        self.eqs, ids_e = self._tracker.checkpoint(self.eqs)
+        self.trues, ids_r = self._tracker.checkpoint(self.trues)
+        self._gen_ids = ids_s | ids_t | ids_e | ids_r
+        res.release()
+        self._tracker.release(old_gen)
+
     def publish(self) -> int:
         """Commit the accumulated graph as a new snapshot version under
         ``out_dir`` (atomic pointer swap; readers of earlier versions are

@@ -541,3 +541,54 @@ def test_dedup_groups_collapses_chains(spark):
     pairs = spark.createDataFrame([(10, 11)], ["id_a", "id_b"])
     g2 = dedup_groups(docs, pairs=pairs).collect()
     assert {(r["doc_id"], r["rep_id"]) for r in g2} == {(10, 10), (11, 10)}
+
+
+def test_streaming_retract_then_readd_roundtrip(spark):
+    """Mid-stream retraction (StreamingGraph.retract_batch): the DRed
+    pass restores the exact closure of the surviving stated facts, a
+    later batch re-delivering the retracted fact re-inserts it as a
+    genuine delta (same signature as before the retraction), and the
+    storage pool still holds one generation between batches."""
+    from inferdf_rs_spark.caches import persistent_rdd_ids
+    from inferdf_rs_spark.encode import iri_edges
+    from inferdf_rs_spark.operators.canon import graph_signature
+    from inferdf_rs_spark.rules import stmt_triple
+    from inferdf_rs_spark.streaming.ingest import StreamingGraph
+
+    EXK = "https://example.org/sr#"
+    tc = rule(
+        variables=3,
+        hypothesis=[
+            pat("+", v(0), iri(EXK + "n"), v(1)),
+            pat("+", v(1), iri(EXK + "n"), v(2)),
+        ],
+        statements=[stmt_triple("+", v(0), iri(EXK + "n"), v(2))],
+    )
+    sysm = System(spark, [tc])
+    sg = StreamingGraph(spark, sysm, out_dir="/tmp/unused")
+
+    def batch(rows):
+        return iri_edges(
+            spark.createDataFrame(rows, "s_lex string, p_lex string, o_lex string")
+        )
+
+    chain = [(EXK + a, EXK + "n", EXK + b) for a, b in [("a", "b"), ("b", "c"), ("c", "d")]]
+    sg.process_batch(batch(chain), 0)
+    sig_full = graph_signature(sg.store, sg.terms)
+    n_full = sg.store.count()
+
+    # retract the middle edge: closure must shrink to the two fragments
+    from inferdf_rs_spark.engine import build_dataset
+
+    pair = build_dataset(spark, [(iri(EXK + "b"), iri(EXK + "n"), iri(EXK + "c"))])
+    pool_before = len(persistent_rdd_ids(spark))
+    sg.retract_batch(pair.triples.select("s", "p", "o", "sign"))
+    assert sg.store.count() == 2  # a->b, c->d only; no entailed facts left
+    # one-generation discipline: the pool did not grow across the call
+    assert len(persistent_rdd_ids(spark)) <= pool_before + 4
+
+    # re-adding the edge restores the original closure exactly
+    sg.process_batch(batch([chain[1]]), 1)
+    assert sg.store.count() == n_full
+    assert graph_signature(sg.store, sg.terms) == sig_full
+    sg._tracker.release()
