@@ -90,3 +90,48 @@ def test_prefix_sum_broadcasts_offsets_and_partitions_data_window(spark):
     sp = [ln for ln in plan.splitlines() if "Exchange SinglePartition" in ln]
     assert len(sp) <= 1
     assert "hashpartitioning(_bkt" in plan
+
+
+def test_kmeans_assign_is_map_only(spark):
+    from inferdf_rs_spark.operators.clustering import kmeans_assign
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centers = [[0] * 64, [100] * 64]
+    plan = _plan(kmeans_assign(emb, centers))
+    assert _shuffles(plan) == 0, plan
+
+
+def test_ann_ivf_broadcasts_probe_side_no_cartesian(spark):
+    from inferdf_rs_spark.operators.clustering import ann_ivf, kmeans_fit
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centers = kmeans_fit(emb, k=4, iters=1)
+    plan = _plan(ann_ivf(emb, centers, [0, 1], k=5, nprobe=2))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_joins_on_cluster_key_no_cartesian(spark):
+    from inferdf_rs_spark.operators.clustering import kmeans_fit, semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centers = kmeans_fit(emb, k=4, iters=1)
+    plan = _plan(semantic_dedup(emb, centers, max_dist_milli2=1))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_contamination_probe_shuffles_hits_only(spark):
+    """decontaminate's one shuffle is the per-doc hit aggregate AFTER
+    the broadcast gram probe — the corpus-gram explode itself must not
+    exchange."""
+    from inferdf_rs_spark.operators.decontaminate import contamination_hits
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(9, "alpha beta gamma")], "doc_id long, text string")
+    plan = _plan(contamination_hits(docs, bench))
+    # exactly the aggregate's exchange pair-at-most (AQE may show 1)
+    assert _shuffles(plan) <= 2, plan
+    assert "BroadcastHashJoin" in plan
