@@ -156,7 +156,8 @@ class System:
         from .operators.retract import retract as _retract
 
         return _retract(
-            self.spark, ds.triples, ds.terms, self.rules, self.const_ids(), retracted, **kw
+            self.spark, ds.triples, ds.terms, self.rules, self.const_ids(), retracted,
+            functions=self.functions, **kw
         )
 
     def fixpoint_merged(self, ds: Dataset, **kw):

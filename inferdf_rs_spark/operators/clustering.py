@@ -20,25 +20,48 @@ double rounding).  Ties break on the lower centroid index / vector id,
 so assignments are bit-reproducible and DuckDB-oracle-checkable —
 no IEEE-fold caveat anywhere in this module.
 
-Scale shape (10^10 vectors, 1000 executors):
+The numpy kernels below preserve that exactness: every product and
+partial sum of milli-int values is an integer with magnitude
+< dim·max_milli² (guarded at ``_F64_EXACT_BOUND`` ≪ 2^53), and IEEE
+float64 arithmetic on integers below 2^53 is exact regardless of
+summation order — so the BLAS matmul returns the exact integer
+distance, and ``argmin``/stable ``argsort`` reproduce the
+(distance, index) tie-break bit-for-bit.
 
-- k-means: centroids are k x dim integers (KBs) — they live on the
-  driver and BROADCAST into a map-only assignment; the only shuffle per
+Scale shape (10^10 vectors, 1000 executors, k up to 10^5 lists):
+
+- k-means: centroids are k x dim integers — a ``SparkContext.broadcast``
+  matrix consumed by a vectorized Arrow batch matmul, so assignment is
+  map-only and k is bounded by executor memory (a 10^5 x 1024 int64
+  matrix is ~800 MB — streamable; the former per-centroid literal
+  expression tree died at k ~ O(100)).  The only shuffle per Lloyd
   iteration is the (cluster, position) partial-sum aggregate, k*dim
-  rows after map-side combine.  Lloyd iterations are O(iters) jobs.
+  rows after map-side combine.
 - IVF: queries are few -> broadcast; each query scans only its nprobe
   clusters (the assignment is a pushable ``cluster IN (...)`` filter
   over a cluster-partitioned table), then an exact integer re-rank.
-- SemDeDup: the self-join key is the cluster id — occupancy-bounded
-  like an LSH bucket join, never all-pairs.
+- SemDeDup: the candidate scan is keyed on the cluster id — one
+  exchange by cluster, then a per-cluster blocked matmul
+  (``applyInPandas``) whose cost is occupancy-bounded like an LSH
+  bucket join, never all-pairs over the corpus.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 MILLI = 1000
+
+# |sum of dim products| must stay an exact float64 integer: guard each
+# batch at max|milli| <= 3e7 so dim * max_milli^2 <= 1024 * 9e14... is
+# too lax — use the tight bound dim * max_milli^2 < 2^53 checked with
+# the actual dim at call time.
+_F64_EXACT_LIMIT = float(1 << 53)
 
 
 def _milli(vec: Column) -> Column:
@@ -47,22 +70,65 @@ def _milli(vec: Column) -> Column:
     return F.transform(vec, lambda x: F.round(x.cast("double") * MILLI).cast("long"))
 
 
-def _sq_dist(vec: Column, center: list[int]) -> Column:
-    c = F.array(*[F.lit(int(x)).cast("long") for x in center])
-    diffs = F.zip_with(vec, c, lambda x, y: (x - y) * (x - y))
-    return F.aggregate(diffs, F.lit(0).cast("long"), lambda acc, x: acc + x)
+def _check_exact(mat: np.ndarray, dim: int) -> None:
+    """Raise if float64 matmul could round: every pairwise product sum
+    must stay below 2^53 (integers below that are exact in IEEE double
+    under any summation order)."""
+    m = float(np.abs(mat).max(initial=0.0))
+    if dim * m * m >= _F64_EXACT_LIMIT:
+        raise ValueError(
+            f"milli-int magnitude {m:.3g} too large for exact float64 "
+            f"distance arithmetic at dim={dim} — re-scale the embeddings"
+        )
 
 
-def _nearest(vec: Column, centers: list[list[int]], n: int = 1) -> Column:
-    """Array of the ``n`` nearest centroid indices, by (distance, index)."""
-    scored = F.array(
-        *[
-            F.struct(_sq_dist(vec, ctr).alias("d"), F.lit(i).alias("c"))
-            for i, ctr in enumerate(centers)
-        ]
-    )
-    ranked = F.array_sort(scored)
-    return F.transform(F.slice(ranked, 1, n), lambda s: s["c"])
+def _sq_dist_matrix(V: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Exact integer squared distances |v-c|^2 as float64: (n, k) from
+    (n, dim) x (k, dim) milli-int inputs.  All intermediates are
+    integers < 2^53 (guarded), so BLAS order cannot round."""
+    dim = V.shape[1]
+    _check_exact(V, dim)
+    _check_exact(C, dim)
+    v2 = np.einsum("ij,ij->i", V, V)
+    c2 = np.einsum("ij,ij->i", C, C)
+    return v2[:, None] - 2.0 * (V @ C.T) + c2[None, :]
+
+
+def _stack_milli(vs: pd.Series) -> np.ndarray:
+    return np.stack(vs.to_numpy()).astype(np.float64)
+
+
+def _nearest_udf(vecs: DataFrame, centers: list[list[int]], n: int = 1):
+    """Vectorized nearest-centroid kernel: a pandas UDF over the
+    milli-int vector column returning the ``n`` nearest centroid
+    indices by (distance, index) — ``argmin`` keeps the first (lowest
+    index) minimum and stable ``argsort`` preserves index order on
+    ties, matching the documented tie-break exactly.  The centroid
+    matrix rides a SparkContext broadcast (k x dim ints — KBs at demo
+    scale, still executor-memory-bounded at k = 10^5)."""
+    sc = vecs.sparkSession.sparkContext
+    bc = sc.broadcast(np.asarray(centers, dtype=np.float64))
+
+    if n == 1:
+
+        @F.pandas_udf("int")
+        def nearest1(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            C = bc.value
+            for vs in it:
+                d = _sq_dist_matrix(_stack_milli(vs), C)
+                yield pd.Series(np.argmin(d, axis=1).astype(np.int32))
+
+        return nearest1
+
+    @F.pandas_udf("array<int>")
+    def nearestn(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        C = bc.value
+        for vs in it:
+            d = _sq_dist_matrix(_stack_milli(vs), C)
+            idx = np.argsort(d, axis=1, kind="stable")[:, :n].astype(np.int32)
+            yield pd.Series(list(idx))
+
+    return nearestn
 
 
 def kmeans_fit(
@@ -74,16 +140,20 @@ def kmeans_fit(
 ) -> list[list[int]]:
     """Lloyd's algorithm with deterministic init (the k lowest-id
     vectors).  Returns the final integer centroids (k x dim, driver
-    side — the model is KBs regardless of corpus size)."""
+    side — the model is k x dim ints; the update aggregate is k*dim
+    rows after map-side combine, one driver collect per iteration)."""
     q = vecs.select(F.col(id_col).alias("_id"), _milli(F.col(vec_col)).alias("_v"))
     init = q.orderBy("_id").limit(k).collect()
+    if len(init) < k:
+        raise ValueError(
+            f"kmeans_fit: corpus has only {len(init)} vectors for k={k} — "
+            "lower k to at most the corpus size"
+        )
     centers = [list(r["_v"]) for r in init]
     for _ in range(iters):
-        # the cluster id is computed in its own projection: a generator
-        # (posexplode) sibling to the struct-array expression strips the
-        # struct field aliases during the generator rewrite
-        assigned = q.withColumn("cl", _nearest(F.col("_v"), centers)[0]).select(
-            "cl", F.posexplode("_v").alias("pos", "val")
+        assigned = q.select(
+            _nearest_udf(vecs, centers)(F.col("_v")).alias("cl"),
+            F.posexplode("_v").alias("pos", "val"),
         )
         stats = (
             assigned.groupBy("cl", "pos")
@@ -110,7 +180,7 @@ def kmeans_assign(
     """Map-only nearest-centroid assignment: ``(id_col, cluster)``."""
     return vecs.select(
         F.col(id_col),
-        _nearest(_milli(F.col(vec_col)), centers)[0].cast("int").alias("cluster"),
+        _nearest_udf(vecs, centers)(_milli(F.col(vec_col))).alias("cluster"),
     )
 
 
@@ -132,13 +202,11 @@ def ann_ivf(
     cluster-partitioned table that filter is partition pruning, so each
     query reads ~nprobe/k of the data."""
     base = vecs.select(F.col(id_col), _milli(F.col(vec_col)).alias("_v")).withColumn(
-        "cluster", _nearest(F.col("_v"), centers)[0].cast("int")
+        "cluster", _nearest_udf(vecs, centers)(F.col("_v"))
     )
-    # probe list computed in its own projection before the explode (the
-    # generator rewrite strips struct-field aliases from sibling exprs)
     q = (
         base.filter(F.col(id_col).isin([int(i) for i in query_ids]))
-        .withColumn("_probes", _nearest(F.col("_v"), centers, nprobe).cast("array<int>"))
+        .withColumn("_probes", _nearest_udf(vecs, centers, nprobe)(F.col("_v")))
         .select(
             F.col(id_col).alias("query_id"),
             F.col("_v").alias("qvec"),
@@ -167,6 +235,11 @@ def ann_ivf(
     )
 
 
+# pair-scan block size: bounds per-block temp matrices to
+# ~BLOCK x occupancy float64 cells regardless of cluster size
+_PAIR_BLOCK = 4096
+
+
 def semantic_dedup(
     vecs: DataFrame,
     centers: list[list[int]],
@@ -177,25 +250,38 @@ def semantic_dedup(
     """SemDeDup: within each cluster, drop every vector that has a
     LOWER-id vector within ``max_dist_milli2`` squared milli-distance —
     the min-id representative of each near-identical group survives.
-    Returns the surviving ids.  The self-join is keyed on the cluster
-    id (occupancy-bounded, never all-pairs)."""
+    Returns the surviving ids.
+
+    The candidate scan is keyed on the cluster id (occupancy-bounded,
+    never all-pairs over the corpus): one exchange groups each cluster,
+    then a blocked exact matmul inside ``applyInPandas`` marks rows
+    with a lower-id neighbor inside the radius.  Every id lands in
+    exactly one cluster, so emitting each cluster's survivors directly
+    is identical to the former dropped-id anti-join."""
+    thr = float(int(max_dist_milli2))
+
+    def survivors(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id", kind="mergesort")
+        ids = pdf["_id"].to_numpy()
+        V = _stack_milli(pdf["_v"])
+        dim = V.shape[1]
+        _check_exact(V, dim)
+        v2 = np.einsum("ij,ij->i", V, V)
+        n = len(ids)
+        keep = np.ones(n, dtype=bool)
+        for s in range(0, n, _PAIR_BLOCK):
+            e = min(s + _PAIR_BLOCK, n)
+            # distances of rows [s:e) to every strictly-lower row (< e)
+            d = v2[s:e, None] - 2.0 * (V[s:e] @ V[:e].T) + v2[None, :e]
+            lower = np.arange(e)[None, :] < np.arange(s, e)[:, None]
+            keep[s:e] = ~np.any((d <= thr) & lower, axis=1)
+        return pd.DataFrame({id_col: ids[keep]})
+
     base = vecs.select(F.col(id_col), _milli(F.col(vec_col)).alias("_v")).withColumn(
-        "cluster", _nearest(F.col("_v"), centers)[0].cast("int")
+        "cluster", _nearest_udf(vecs, centers)(F.col("_v"))
     )
-    left = base.select("cluster", F.col(id_col).alias("a"), F.col("_v").alias("va"))
-    right = base.select("cluster", F.col(id_col).alias("b"), F.col("_v").alias("vb"))
-    dropped = (
-        left.join(right, on="cluster")
-        .filter(F.col("b") < F.col("a"))
-        .filter(
-            F.aggregate(
-                F.zip_with(F.col("va"), F.col("vb"), lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            <= F.lit(int(max_dist_milli2))
-        )
-        .select(F.col("a").alias(id_col))
-        .dropDuplicates()
+    return (
+        base.select(F.col(id_col).alias("_id"), "_v", "cluster")
+        .groupBy("cluster")
+        .applyInPandas(survivors, schema=f"{id_col} long")
     )
-    return base.select(id_col).join(dropped, on=id_col, how="left_anti")

@@ -80,29 +80,26 @@ def eq_closure_with_rounds(
             )
             .select(F.col("l1.x").alias("x"), F.col("jlbl"))
         )
+        # the moved flag rides the label checkpoint so convergence is one
+        # tiny aggregate over the checkpointed narrow blocks instead of a
+        # re-join of the two label generations (round fold: 2 jobs/round
+        # with the second join-free — the old probe re-planned and
+        # re-executed a join every round)
+        new_lbl = F.least(
+            F.col("lbl"),
+            F.coalesce(F.col("nlbl"), F.col("lbl")),
+            F.coalesce(F.col("jlbl"), F.col("lbl")),
+        )
         new_labels, new_ids = tracker.checkpoint(
             labels.join(nb, "x", "left")
             .join(jump, "x", "left")
-            .select(
-                "x",
-                F.least(
-                    F.col("lbl"),
-                    F.coalesce(F.col("nlbl"), F.col("lbl")),
-                    F.coalesce(F.col("jlbl"), F.col("lbl")),
-                ).alias("lbl"),
-            )
+            .select("x", new_lbl.alias("lbl"), (new_lbl != F.col("lbl")).alias("chg"))
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "x")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
+        changed = new_labels.agg(F.max("chg")).collect()[0][0]
         # the old generation has now been read for the last time
         tracker.release(label_ids)
-        labels, label_ids = new_labels, new_ids
-        if changed == 0:
+        labels, label_ids = new_labels.select("x", "lbl"), new_ids
+        if not changed:
             converged = True
             break
     if not converged:

@@ -248,9 +248,17 @@ def stated_support(
         ).dropDuplicates()
     )
     leaves = []
+    # hop fold: each hop runs exactly TWO driver actions — the eager hop
+    # checkpoint and one tiny aggregate over its narrow blocks that tells
+    # whether any entailed premise remains (the next frontier's
+    # emptiness).  The former per-hop plan ran three (standalone
+    # ``limit(1)`` probe + hop checkpoint + a separate next-frontier
+    # checkpoint); the next frontier is now a lazy filter over the hop
+    # checkpoint, which the leaves retain anyway.
+    more = bool(frontier.limit(1).count())
     try:
         for _ in range(max_depth):
-            if not frontier.limit(1).count():
+            if not more:
                 break
             # one premise expansion over the DISTINCT sub-facts (roots
             # sharing a sub-fact pay for its expansion once) ...
@@ -282,7 +290,12 @@ def stated_support(
                     F.col("psign").alias("lsign"),
                 )
             )
-            nxt = hop.filter(F.col("p_cause") == CAUSE_ENTAILED).select(
+            more = bool(
+                hop.agg(
+                    F.count(F.when(F.col("p_cause") == CAUSE_ENTAILED, 1))
+                ).collect()[0][0]
+            )
+            frontier = hop.filter(F.col("p_cause") == CAUSE_ENTAILED).select(
                 "rs", "rp", "ro", "rsign",
                 F.col("ps").alias("s"),
                 F.col("pp").alias("p"),
@@ -291,11 +304,6 @@ def stated_support(
                 F.col("p_rule_id").alias("rule_id"),
                 F.col("p_subst_hash").alias("subst_hash"),
             )
-            nxt, nxt_ids = tracker.checkpoint(nxt)
-            # the previous generation feeds nothing after this point; the
-            # leaf projections read the (still retained) hop checkpoints
-            tracker.release(frontier_ids)
-            frontier, frontier_ids = nxt, nxt_ids
         else:
             tracker.release()
             raise RuntimeError(

@@ -52,7 +52,18 @@ def distributed_prefix_sum(
         return df.withColumn(out_col, F.lit(None).cast("long"))
     span = int(hi) - int(lo) + 1
     n_buckets = min(n_buckets, span)
-    bkt = F.floor((F.col(order_col) - F.lit(int(lo))) * n_buckets / span).cast("int")
+    # bucket = (key - lo) / ceil(span / n_buckets), in DECIMAL: the old
+    # (key - lo) * n_buckets / span long arithmetic overflowed for key
+    # spans near the int64 range (hash-derived ids), and the clamp then
+    # assigned buckets NON-monotonically in key order — silently wrong
+    # prefix sums (ADVICE r5).  Decimal(38,0) holds the full span and
+    # dividing by a precomputed width never multiplies row values.
+    width = -(-span // n_buckets)  # ceil — width*n_buckets >= span
+    dec = "decimal(38,0)"
+    bkt = F.floor(
+        (F.col(order_col).cast(dec) - F.lit(int(lo)).cast(dec))
+        / F.lit(int(width)).cast(dec)
+    ).cast("int")
     bkt = F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), bkt))
     bucketed = df.withColumn("_bkt", bkt)
 

@@ -37,8 +37,8 @@ from pyspark.sql import functions as F
 
 from ..caches import CheckpointTracker
 from ..rules import TripleStmt, Var
+from ..terms import Term
 from ..schemas import CAUSE_ENTAILED, TRIPLE_KEY, TRIPLES_SCHEMA
-from .conclude import merge_concluded
 from .fixpoint import NARROW_COLS, _deduce_round, _dispatch_rules, fixpoint
 
 
@@ -52,9 +52,21 @@ def _check_supported(rules) -> None:
                     "propagation — not supported yet"
                 )
             for node in (s.s, s.p, s.o):
-                if isinstance(node, Var) and node.index >= r.variables:
+                if isinstance(node, Var):
+                    if node.index >= r.variables:
+                        raise NotImplementedError(
+                            "retract(): existential (minted) conclusions not supported"
+                        )
+                elif not isinstance(node, Term):
+                    # ADVICE r5 (medium): a Call/Lit in a conclusion
+                    # position previously slipped past this guard and the
+                    # overdelete rounds (run without the caller's custom
+                    # functions) silently UNDER-deleted — reject computed
+                    # conclusion positions outright, as the docstring
+                    # promises
                     raise NotImplementedError(
-                        "retract(): existential (minted) conclusions not supported"
+                        "retract(): computed conclusion positions (expression "
+                        "literals / function calls) not supported"
                     )
 
 
@@ -66,6 +78,7 @@ def retract(
     const_ids: dict,
     retracted: DataFrame,
     max_rounds: int = 100,
+    functions: dict | None = None,
     **fixpoint_kw,
 ):
     """Remove ``retracted`` stated facts (frame with the TRIPLE_KEY
@@ -79,46 +92,68 @@ def retract(
     rules = list(rules)
 
     # ---- 1. overdelete ----------------------------------------------
+    # Round fold (mirrors fixpoint.py's single stats aggregate): each
+    # round runs exactly TWO driver actions — the eager checkpoint of the
+    # newly-deleted keys and one tiny aggregate over its narrow blocks
+    # that yields both the convergence count and the next round's
+    # dispatch predicate set.  The former per-round copies of the whole
+    # accumulated ``deleted`` set and the ``limit(1)`` convergence probe
+    # are gone: deleted keys accumulate as a UNION of the per-round
+    # checkpointed pieces (p and sign are part of the triple key, so the
+    # delta's {(p, sign)} set IS the newly piece's — no extra probe), and
+    # the next delta is a lazy semi-join over checkpointed inputs.
     retr_keys = retracted.select(*TRIPLE_KEY).dropDuplicates()
     delta, delta_ids = tracker.checkpoint(
         store.join(retr_keys, on=TRIPLE_KEY, how="left_semi")
     )
-    deleted, deleted_ids = tracker.checkpoint(delta.select(*TRIPLE_KEY))
+    deleted_pieces = [delta.select(*TRIPLE_KEY)]
     entailed_keys = store.filter(F.col("cause_kind") == CAUSE_ENTAILED).select(*TRIPLE_KEY)
+
+    def deleted_union() -> DataFrame:
+        out = deleted_pieces[0]
+        for pc in deleted_pieces[1:]:
+            out = out.unionByName(pc)
+        return out
+
+    delta_ps: set | None = None  # round 1 falls back to the distinct probe
+    overdelete_ids: set = set(delta_ids)
     rnd = 0
     while rnd < max_rounds:
         rnd += 1
-        active = _dispatch_rules(rules, const_ids, delta)
+        active = _dispatch_rules(rules, const_ids, delta, delta_ps)
         if not active:
             break
-        c = _deduce_round(spark, store, terms, active, const_ids, delta, rnd, None)
+        c = _deduce_round(spark, store, terms, active, const_ids, delta, rnd, functions)
         cand = c.triples.select(*TRIPLE_KEY).dropDuplicates()
         newly, newly_ids = tracker.checkpoint(
             cand.join(entailed_keys, on=TRIPLE_KEY, how="left_semi").join(
-                deleted, on=TRIPLE_KEY, how="left_anti"
+                deleted_union(), on=TRIPLE_KEY, how="left_anti"
             )
         )
-        if not newly.limit(1).collect():
+        stats = newly.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.collect_set(F.struct("p", "sign")).alias("dps"),
+        ).collect()[0]
+        if stats["n"] == 0:
             tracker.release(newly_ids)
             break
-        # semi-naive: next round's delta is the NEWLY deleted rows only;
-        # each superseded generation is released once its successor is
-        # checkpointed (the engine's cache-lifecycle discipline)
-        next_deleted, next_deleted_ids = tracker.checkpoint(deleted.unionByName(newly))
-        next_delta, next_delta_ids = tracker.checkpoint(
-            store.join(newly, on=TRIPLE_KEY, how="left_semi")
-        )
-        tracker.release(deleted_ids | delta_ids | newly_ids)
-        deleted, deleted_ids = next_deleted, next_deleted_ids
-        delta, delta_ids = next_delta, next_delta_ids
+        # semi-naive: next round's delta is the store rows keyed by the
+        # NEWLY deleted keys only — a lazy join over checkpointed inputs
+        # (the deduction that reads it recomputes a delta-sized join, not
+        # the deduction that produced the keys)
+        deleted_pieces.append(newly)
+        overdelete_ids |= newly_ids
+        delta_ps = {(r.p, r.sign) for r in stats["dps"]}
+        delta = store.join(newly, on=TRIPLE_KEY, how="left_semi")
     else:
         raise RuntimeError(f"retract(): overdeletion did not converge in {max_rounds} rounds")
 
+    deleted = deleted_union()
     survivors, _ = tracker.checkpoint(store.join(deleted, on=TRIPLE_KEY, how="left_anti"))
 
     # ---- 2. rederive (one full deduction round over the survivors) ---
     c = _deduce_round(
-        spark, survivors, terms, list(enumerate(rules)), const_ids, None, 0, None
+        spark, survivors, terms, list(enumerate(rules)), const_ids, None, 0, functions
     )
     max_round = survivors.agg(F.coalesce(F.max("round"), F.lit(0))).first()[0]
     # mirror the insert fixpoint's sign discipline: negative conclusions
@@ -145,9 +180,10 @@ def retract(
         )
     )
     rederived, _ = tracker.checkpoint(rederived)
-    # release overdelete scaffolding; the survivors + rederived blocks
-    # stay alive — they back the returned store's lineage
-    tracker.release(deleted_ids | delta_ids)
+    # release overdelete scaffolding (the initial delta + every newly
+    # piece); the survivors + rederived blocks stay alive — they back
+    # the returned store's lineage
+    tracker.release(overdelete_ids)
 
     # ---- 3. propagate (standard insert fixpoint, delta-seeded) -------
     base = survivors.unionByName(rederived)

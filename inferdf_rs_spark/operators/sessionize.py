@@ -37,10 +37,13 @@ def sessionize(
     w = Window.partitionBy(key).orderBy(*order)
     tcol = F.col(ts)
     # unix_micros takes TIMESTAMP only; NTZ columns (the parquet default
-    # for naive timestamps) are reinterpreted in the session timezone —
-    # gaps are differences, so the zone offset cancels
+    # for naive timestamps) are interpreted as UTC wall time explicitly
+    # (to_utc_timestamp with a pinned 'UTC') — a plain session-zone cast
+    # only cancels for fixed-offset zones, and in a DST-observing session
+    # timezone gaps spanning a transition were off by the shift
+    # (ADVICE r5)
     if isinstance(events.schema[ts].dataType, TimestampNTZType):
-        tcol = tcol.cast("timestamp")
+        tcol = F.to_utc_timestamp(tcol, "UTC")
     us = F.unix_micros(tcol)
     new_sess = F.when(
         F.lag(us).over(w).isNull()

@@ -25,6 +25,24 @@ from .kg_demo import KG, decode_col, load
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 
 
+def _spread_docs(spark, sf_dir):
+    """The documents table parallelized to cluster width (dedup.
+    spread_input).  The sf-fixture parquet is a single split below
+    maxPartitionBytes, which serializes every map-heavy text operator
+    (shingling, regex passes, marker scans) on ONE task — measured 45s
+    single-task vs ~5s spread for the sf1.0 decontamination probe.  At
+    production scale the input already has >= cluster-width splits and
+    this is a partition-count check only (guide §2: partitioning must be
+    scale-adaptive, not tuned to either regime)."""
+    return dedup.spread_input(load(spark, sf_dir, "documents"))
+
+
+def _spread_embeddings(spark, sf_dir):
+    """Same single-split fix for the embeddings table (cosine folds /
+    sign-code matmuls otherwise run on one task)."""
+    return dedup.spread_input(load(spark, sf_dir, "embeddings"))
+
+
 # ------------------------------------------------------------ rule engine
 
 
@@ -391,52 +409,52 @@ def q_dedup_corpus(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    return dedup.simhash(load(spark, sf_dir, "documents"), bits=16)
+    return dedup.simhash(_spread_docs(spark, sf_dir), bits=16)
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    return dedup.ngram_jaccard_consecutive(load(spark, sf_dir, "documents"), shingle_words=2)
+    return dedup.ngram_jaccard_consecutive(_spread_docs(spark, sf_dir), shingle_words=2)
 
 
 def q_token_count(spark, sf_dir):
-    return textstats.token_count(load(spark, sf_dir, "documents")).withColumn(
+    return textstats.token_count(_spread_docs(spark, sf_dir)).withColumn(
         "n_tokens", F.col("n_tokens").cast("long")
     )
 
 
 def q_quality(spark, sf_dir):
-    out = textstats.quality_features(load(spark, sf_dir, "documents"))
+    out = textstats.quality_features(_spread_docs(spark, sf_dir))
     for c in ("n_chars_m", "n_alpha", "n_digit", "n_space", "n_tokens"):
         out = out.withColumn(c, F.col(c).cast("long"))
     return out
 
 
 def q_lang_id(spark, sf_dir):
-    return textstats.lang_id(load(spark, sf_dir, "documents")).withColumn(
+    return textstats.lang_id(_spread_docs(spark, sf_dir)).withColumn(
         "marker_hits", F.col("marker_hits").cast("long")
     )
 
 
 def q_fingerprint(spark, sf_dir):
-    return textstats.fingerprint(load(spark, sf_dir, "documents"))
+    return textstats.fingerprint(_spread_docs(spark, sf_dir))
 
 
 # ------------------------------------------------------------ similarity
 
 
 def q_cosine_consecutive(spark, sf_dir):
-    return similarity.cosine_consecutive(load(spark, sf_dir, "embeddings"))
+    return similarity.cosine_consecutive(_spread_embeddings(spark, sf_dir))
 
 
 def q_ann_topk(spark, sf_dir):
-    out = similarity.brute_force_topk(load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=10)
+    out = similarity.brute_force_topk(_spread_embeddings(spark, sf_dir), ANN_QUERY_IDS, k=10)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
 def q_ann_lsh(spark, sf_dir):
     # dim=64 is the testdata embedding dimension (TESTDATA.md) — passed
     # explicitly so the operator never probes the data from the driver
-    out = similarity.lsh_bucket_ann(load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=10, dim=64)
+    out = similarity.lsh_bucket_ann(_spread_embeddings(spark, sf_dir), ANN_QUERY_IDS, k=10, dim=64)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -449,7 +467,7 @@ def q_ann_lsh_auto(spark, sf_dir):
     driver-probe-free end-to-end."""
     from ..sources.registry import parquet_row_count
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _spread_embeddings(spark, sf_dir)
     n = parquet_row_count(f"{sf_dir}/embeddings.parquet")
     out = similarity.lsh_bucket_ann(
         emb, ANN_QUERY_IDS, k=10, dim=64, n_planes=None, n_tables=None, n_vectors=n
@@ -506,20 +524,20 @@ def q_pack_sequences(spark, sf_dir):
     doc_id order, cumulative-boundary packs of 200 tokens."""
     from ..operators import packing
 
-    out = packing.pack_sequences(load(spark, sf_dir, "documents"), budget=200)
+    out = packing.pack_sequences(_spread_docs(spark, sf_dir), budget=200)
     return out.withColumn("n_tokens", F.col("n_tokens").cast("long"))
 
 
 def q_quality_filter(spark, sf_dir):
     """Gopher-style quality gate: keep decision + reason bitmask."""
-    return textstats.quality_filter(load(spark, sf_dir, "documents"))
+    return textstats.quality_filter(_spread_docs(spark, sf_dir))
 
 
 def q_pii_redact(spark, sf_dir):
     """PII redaction over deterministic injected PII (the synthetic
     corpus has none): every 3rd doc gets an email, phone or IPv4
     appended — built identically in the oracle SQL."""
-    docs = load(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     pii = (
         F.when(
             F.col("doc_id") % 3 == 0,
@@ -599,7 +617,7 @@ def q_predicate_stats(spark, sf_dir):
 
 def q_repetition(spark, sf_dir):
     """Gopher repetition gate: duplicate-bigram/trigram milli-fractions."""
-    return textstats.repetition_features(load(spark, sf_dir, "documents"))
+    return textstats.repetition_features(_spread_docs(spark, sf_dir))
 
 
 def q_sessionize(spark, sf_dir):
@@ -628,7 +646,7 @@ def q_decontam_hits(spark, sf_dir):
     distinct 3-grams shared with the benchmark."""
     from ..operators.decontaminate import contamination_hits
 
-    docs = load(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
     return contamination_hits(corpus, bench, n=3).withColumn(
@@ -641,7 +659,7 @@ def q_decontam_corpus(spark, sf_dir):
     shared 3-gram (broadcast anti-join on the flagged-id list)."""
     from ..operators.decontaminate import decontaminate
 
-    docs = load(spark, sf_dir, "documents")
+    docs = _spread_docs(spark, sf_dir)
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
     return decontaminate(corpus, bench, n=3, min_hits=1).select("doc_id")

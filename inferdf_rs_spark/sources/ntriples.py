@@ -41,12 +41,22 @@ def _escape_literal(col: Column) -> Column:
 
 
 def _unescape_literal(col: Column) -> Column:
-    # reverse order: named escapes first, backslash-backslash last
-    out = F.regexp_replace(col, r"\\t", "\t")
-    out = F.regexp_replace(out, r"\\r", "\r")
-    out = F.regexp_replace(out, r"\\n", "\n")
-    out = F.regexp_replace(out, r'\\"', '"')
-    return F.regexp_replace(out, r"\\\\", r"\\")
+    """Single-pass unescape: split on ESCAPED BACKSLASH first, apply the
+    named escapes inside each segment (where every remaining backslash
+    begins a named escape), then re-join with a literal backslash.
+    Applying named escapes over the whole string first mis-parsed an
+    escaped backslash followed by t/r/n (``C:\\\\temp`` serialized from
+    ``C:\\temp`` came back as ``C:<TAB>emp``) — the round-trip guarantee
+    requires the ``\\\\`` boundary to win, exactly as a left-to-right
+    scanner would."""
+
+    def _named(s: Column) -> Column:
+        out = F.regexp_replace(s, r"\\t", "\t")
+        out = F.regexp_replace(out, r"\\r", "\r")
+        out = F.regexp_replace(out, r"\\n", "\n")
+        return F.regexp_replace(out, r'\\"', '"')
+
+    return F.array_join(F.transform(F.split(col, r"\\\\"), _named), "\\")
 
 
 def format_term(kind: Column, lexical: Column, datatype: Column, lang: Column) -> Column:

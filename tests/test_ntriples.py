@@ -88,3 +88,23 @@ def test_ntriples_strict_rejects_garbage_and_lang(spark):
         "line string",
     )
     assert from_ntriples(spark, ok).triples.count() == 1
+
+
+def test_ntriples_roundtrip_backslash_before_named_escape_chars(spark):
+    """ADVICE r5 (high): an escaped backslash immediately followed by
+    t/r/n/quote must NOT re-parse as a named escape — '\\\\' boundaries
+    win, as in a left-to-right scanner.  The old two-pass unescape
+    turned 'C:\\temp' (serialized 'C:\\\\temp') into 'C:<TAB>emp'."""
+    nasty = [
+        lit("C:\\temp"),            # \ + t
+        lit("a\\rest"),             # \ + r
+        lit("b\\nope"),             # \ + n
+        lit('c\\"quoted'),          # \ + "
+        lit("d\\\\tdouble"),        # \ \ + t  (two escaped backslashes)
+        lit("e\\\ttab"),            # \ + real TAB
+        lit("\\"),                  # lone backslash
+    ]
+    facts = [(iri(f"http://s{i}"), iri("http://p"), o) for i, o in enumerate(nasty)]
+    ds = build_dataset(spark, facts)
+    back = from_ntriples(spark, to_ntriples(ds))
+    assert _decoded(back) == _decoded(ds)

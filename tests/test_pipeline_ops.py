@@ -391,3 +391,145 @@ def test_resample_to_mix_plan_is_broadcast_mapside(spark):
     docs = spark.createDataFrame([(i, f"s{i % 2}") for i in range(100)], "doc_id long, source string")
     plan = resample_to_mix(docs, {"s0": 1, "s1": 3})._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_prefix_sum_extreme_key_span_no_overflow(spark):
+    """ADVICE r5 (low): bucket arithmetic must not overflow for order
+    keys spanning nearly the whole int64 range (hash-derived ids) — the
+    old (key-lo)*n_buckets product overflowed and broke key-order
+    monotonicity of the buckets, silently corrupting the prefix sum."""
+    from inferdf_rs_spark.operators.packing import distributed_prefix_sum
+
+    lo, hi = -(2**62) - 7, 2**62 + 11
+    keys = sorted([lo, lo + 1, -3, 0, 5, hi - 1, hi, 2**61, -(2**61) + 3])
+    rows = [(k, i + 1) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    out = {
+        r["k"]: r["c"]
+        for r in distributed_prefix_sum(df, "k", "v", out_col="c", n_buckets=4).collect()
+    }
+    run = 0
+    expect = {}
+    for k, v in rows:
+        run += v
+        expect[k] = run
+    assert out == expect
+
+
+def test_sessionize_ntz_gap_is_dst_safe(spark):
+    """ADVICE r5 (low): NTZ gaps must be computed on the naive value
+    itself.  Under a DST-observing session timezone the old
+    session-zone cast remapped the nonexistent local hour (spring
+    forward), inflating a 15-minute gap to 75 minutes and wrongly
+    splitting the session."""
+    import datetime as dt
+
+    from inferdf_rs_spark.operators.sessionize import sessionize
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        rows = [
+            # 02:10 does not exist in America/New_York on 2026-03-08
+            (1, 100, dt.datetime(2026, 3, 8, 1, 55, 0)),
+            (1, 101, dt.datetime(2026, 3, 8, 2, 10, 0)),
+            (1, 102, dt.datetime(2026, 3, 8, 9, 0, 0)),
+        ]
+        ev = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp_ntz")
+        out = {
+            r["event_id"]: r["session_idx"]
+            for r in sessionize(ev, gap_seconds=900).collect()
+        }
+        assert out == {100: 1, 101: 1, 102: 2}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_kmeans_family_scales_past_plan_literal_k(spark):
+    """VERDICT r5 #1: centroids must not be compiled into the plan — at
+    k=1024 the former per-centroid literal-struct expression tree did
+    not compile; the broadcast-matrix pandas-UDF assignment must handle
+    it, and the plan must NOT grow with k (occupancy, not k, bounds the
+    work)."""
+    from inferdf_rs_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+        semantic_dedup,
+    )
+
+    n, dim, k = 2048, 8, 1024
+    rows = [(i, [float((i * 7 + j * 13) % 29 - 14) for j in range(dim)]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    centers = kmeans_fit(emb, k=k, iters=1)
+    assert len(centers) == k and all(len(c) == dim for c in centers)
+
+    out = kmeans_assign(emb, centers)
+    clusters = [r["cluster"] for r in out.collect()]
+    assert len(clusters) == n and all(0 <= c < k for c in clusters)
+
+    # plan size must be k-independent: the former literal expression tree
+    # grew by ~k structs; the broadcast path stays flat
+    def plan_len(kk):
+        cs = centers[:kk]
+        return len(
+            semantic_dedup(emb, cs, max_dist_milli2=0)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    small, large = plan_len(8), plan_len(k)
+    assert large < small * 2, (small, large)
+
+    # exact duplicates collapse to the min id even at large k
+    dup = spark.createDataFrame(
+        [(10_000, rows[0][1]), (10_001, rows[0][1])], "vec_id long, embedding array<float>"
+    )
+    kept = {
+        r["vec_id"]
+        for r in semantic_dedup(emb.unionByName(dup), centers, max_dist_milli2=0).collect()
+    }
+    assert 0 in kept and 10_000 not in kept and 10_001 not in kept
+
+
+def test_retract_overdelete_action_budget(spark):
+    """VERDICT r5 #5 done-criterion: each overdelete round runs at most
+    2 driver actions (newly checkpoint + one stats aggregate)."""
+    from inferdf_rs_spark import build_dataset, iri
+    from inferdf_rs_spark.engine import Dataset, System
+    from inferdf_rs_spark.rules import pat, rule, stmt_triple, v
+
+    P = "http://kg/next"
+    facts = [(iri(f"n://{i}"), iri(P), iri(f"n://{i+1}")) for i in range(8)]
+    ds = build_dataset(spark, facts)
+    r = rule(
+        variables=3,
+        hypothesis=[pat("+", v(0), iri(P), v(1)), pat("+", v(1), iri(P), v(2))],
+        statements=[stmt_triple("+", v(0), iri(P), v(2))],
+    )
+    sysm = System(spark, [r])
+    closed = sysm.fixpoint(ds)
+    pair = build_dataset(spark, [(iri("n://3"), iri(P), iri("n://4"))])
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before_jobs = len(tracker.getJobIdsForGroup(None) or [])
+    from inferdf_rs_spark.operators.retract import retract as _retract
+
+    res = _retract(
+        spark,
+        closed.store,
+        closed.terms,
+        sysm.rules,
+        sysm.const_ids(),
+        pair.triples.select("s", "p", "o", "sign"),
+    )
+    res.store.count()
+    after_jobs = len(tracker.getJobIdsForGroup(None) or [])
+    # overdelete rounds for the 8-edge chain closure: bounded small; the
+    # budget we pin is TOTAL jobs for the whole retract call — with the
+    # former 4-action rounds this fixture ran >40 jobs; the folded loop
+    # stays well under 30 (2/overdelete-round + rederive + propagate)
+    total_jobs = after_jobs - before_jobs
+    assert total_jobs <= 30, f"retract ran {total_jobs} driver jobs (budget 30)"
+    res.release()
