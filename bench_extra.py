@@ -43,6 +43,11 @@ def main() -> None:
 
     table = dict(HEADLINE)
     names = args.queries or [n for n, _ in HEADLINE]
+    if any(n not in table for n in names):
+        import __spark_entry__ as entrymod
+
+        for n, fn in entrymod.queries().items():
+            table.setdefault(n, fn)
     spark = get_spark(app_name="inferdf_bench_extra")
 
     if args.mode == "explain":

@@ -22,7 +22,7 @@ no IEEE-fold caveat anywhere in this module.
 
 The numpy kernels below preserve that exactness: every product and
 partial sum of milli-int values is an integer with magnitude
-< dim·max_milli² (guarded at ``_F64_EXACT_BOUND`` ≪ 2^53), and IEEE
+< dim·max_milli² (guarded at ``_F64_EXACT_LIMIT`` ≪ 2^53), and IEEE
 float64 arithmetic on integers below 2^53 is exact regardless of
 summation order — so the BLAS matmul returns the exact integer
 distance, and ``argmin``/stable ``argsort`` reproduce the

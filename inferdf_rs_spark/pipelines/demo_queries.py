@@ -454,7 +454,7 @@ def q_ann_topk(spark, sf_dir):
 def q_ann_lsh(spark, sf_dir):
     # dim=64 is the testdata embedding dimension (TESTDATA.md) — passed
     # explicitly so the operator never probes the data from the driver
-    out = similarity.lsh_bucket_ann(_spread_embeddings(spark, sf_dir), ANN_QUERY_IDS, k=10, dim=64)
+    out = similarity.lsh_bucket_ann(load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=10, dim=64)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -467,7 +467,7 @@ def q_ann_lsh_auto(spark, sf_dir):
     driver-probe-free end-to-end."""
     from ..sources.registry import parquet_row_count
 
-    emb = _spread_embeddings(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
     n = parquet_row_count(f"{sf_dir}/embeddings.parquet")
     out = similarity.lsh_bucket_ann(
         emb, ANN_QUERY_IDS, k=10, dim=64, n_planes=None, n_tables=None, n_vectors=n
@@ -524,7 +524,7 @@ def q_pack_sequences(spark, sf_dir):
     doc_id order, cumulative-boundary packs of 200 tokens."""
     from ..operators import packing
 
-    out = packing.pack_sequences(_spread_docs(spark, sf_dir), budget=200)
+    out = packing.pack_sequences(load(spark, sf_dir, "documents"), budget=200)
     return out.withColumn("n_tokens", F.col("n_tokens").cast("long"))
 
 

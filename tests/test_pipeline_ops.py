@@ -513,23 +513,30 @@ def test_retract_overdelete_action_budget(spark):
 
     sc = spark.sparkContext
     tracker = sc.statusTracker()
-    before_jobs = len(tracker.getJobIdsForGroup(None) or [])
     from inferdf_rs_spark.operators.retract import retract as _retract
 
-    res = _retract(
-        spark,
-        closed.store,
-        closed.terms,
-        sysm.rules,
-        sysm.const_ids(),
-        pair.triples.select("s", "p", "o", "sign"),
-    )
-    res.store.count()
-    after_jobs = len(tracker.getJobIdsForGroup(None) or [])
-    # overdelete rounds for the 8-edge chain closure: bounded small; the
-    # budget we pin is TOTAL jobs for the whole retract call — with the
-    # former 4-action rounds this fixture ran >40 jobs; the folded loop
-    # stays well under 30 (2/overdelete-round + rederive + propagate)
+    # AQE splits one driver action into several Spark jobs (one per
+    # materialized query stage) — turn it off so job count == action
+    # count for the budget assertion
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        before_jobs = len(tracker.getJobIdsForGroup(None) or [])
+        res = _retract(
+            spark,
+            closed.store,
+            closed.terms,
+            sysm.rules,
+            sysm.const_ids(),
+            pair.triples.select("s", "p", "o", "sign"),
+        )
+        res.store.count()
+        after_jobs = len(tracker.getJobIdsForGroup(None) or [])
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    # whole-call budget for this fixture: measured 17 jobs with the
+    # folded 2-action overdelete rounds vs 23 with the former 4-action
+    # rounds — 20 cleanly separates the two
     total_jobs = after_jobs - before_jobs
-    assert total_jobs <= 30, f"retract ran {total_jobs} driver jobs (budget 30)"
+    assert total_jobs <= 20, f"retract ran {total_jobs} driver jobs (budget 20)"
     res.release()
