@@ -43,7 +43,7 @@ from ..caches import CheckpointTracker
 from ..rules import Rule, TripleStmt, Var
 from ..schemas import CAUSE_ENTAILED, CAUSE_STATED
 from ..terms import Term
-from .match import _join_bindings, find_substitutions, scan_pattern
+from .match import _build_scan, _join_bindings, find_substitutions
 
 # fact-side column names carried through the walk (prefixed to avoid
 # colliding with the v{i} binding columns and pattern-scan projections)
@@ -66,9 +66,9 @@ def _invertible(stmt) -> bool:
     )
 
 
-def _statement_seed(frontier_r: DataFrame, rule: Rule, st, const_ids: dict) -> DataFrame:
-    """Invert one conclusion statement over the rule's target facts:
-    rows of bound hypothesis-variable columns + subst_hash."""
+def _seed_exprs(rule: Rule, st, const_ids: dict) -> tuple["F.Column", list, list[str]]:
+    """Compiled inversion of one conclusion statement: (filter condition
+    over the fact columns, bound-variable projection, output columns)."""
     s = st.stmt
     cond = F.col("fsign") == F.lit(bool(st.sign))
     proj: dict[int, str] = {}
@@ -94,9 +94,70 @@ def _statement_seed(frontier_r: DataFrame, rule: Rule, st, const_ids: dict) -> D
                 proj[node.index] = pos_name
         else:
             cond = cond & (F.col(pos_name) == F.lit(const_ids[node]))
-    return frontier_r.filter(cond).select(
-        *[F.col(pos).alias(f"v{i}") for i, pos in sorted(proj.items())], "subst_hash"
+    sel = [F.col(pos).alias(f"v{i}") for i, pos in sorted(proj.items())] + [F.col("subst_hash")]
+    return cond, sel, [f"v{i}" for i in sorted(proj)] + ["subst_hash"]
+
+
+def _explain_pack(rule: Rule, const_ids: dict, n_p_buckets: int | None) -> dict:
+    """Hop-invariant compiled expressions for one rule's proof-step:
+    conclusion-inversion seeds, hypothesis scan predicates, the
+    substitution-hash column and the per-slot premise projections.  The
+    walk re-enters ``explain_step`` once per hop with identical
+    (rule, const_ids, p_buckets) — Columns are immutable expression
+    handles, so they are built once and cached on the rule object
+    (identity-checked; the entry holds a strong ref to ``const_ids``)."""
+    pk = getattr(rule, "_explain_cache", None)
+    if pk is not None and pk["const_ids"] is const_ids and pk["p_buckets"] == n_p_buckets:
+        return pk
+
+    invertible = all(_invertible(st.stmt) for st in rule.conclusion.statements)
+    seeds = (
+        [_seed_exprs(rule, st, const_ids) for st in rule.conclusion.statements]
+        if invertible
+        else []
     )
+    scans = [_build_scan(p, const_ids, n_p_buckets) for p in rule.hypothesis]
+
+    def _pos(node):
+        if isinstance(node, Var):
+            return F.col(f"v{node.index}")
+        return F.lit(const_ids[node])
+
+    slot_sels = []
+    for j, p in enumerate(rule.hypothesis):
+        slot_sels.append(
+            [
+                F.col("fs").alias("s"),
+                F.col("fp").alias("p"),
+                F.col("fo").alias("o"),
+                F.col("fsign").alias("sign"),
+                F.col("rule_id"),
+                F.col("subst_hash"),
+                F.lit(j).alias("hyp_idx"),
+                _pos(p.s).alias("ps"),
+                _pos(p.p).alias("pp"),
+                _pos(p.o).alias("po"),
+                F.lit(bool(p.sign)).alias("psign"),
+            ]
+        )
+
+    pk = {
+        "const_ids": const_ids,
+        "p_buckets": n_p_buckets,
+        "invertible": invertible,
+        "seeds": seeds,
+        "scans": scans,
+        "hash_col": _subst_hash_col(rule),
+        "slot_sels": slot_sels,
+        "frontier_cond": F.col("rule_id") == F.lit(rule.rule_id),
+    }
+    try:
+        # Rule is a frozen dataclass: bypass the immutability guard for
+        # this derived cache (it does not participate in eq/hash)
+        object.__setattr__(rule, "_explain_cache", pk)
+    except (AttributeError, TypeError):
+        pass
+    return pk
 
 
 def _winning_substitutions(
@@ -109,13 +170,27 @@ def _winning_substitutions(
     """The substitution behind each frontier fact's stored lineage:
     distinct rows of (all bound v{i}, subst_hash) with the hash check
     applied."""
-    patterns = list(rule.hypothesis)
-    if all(_invertible(st) for st in rule.conclusion.statements):
+    # NB: the statements are SignedStatement wrappers — invertibility is a
+    # property of the inner ``stmt`` (an ``st``-level check made the
+    # inversion branch unreachable through round 5, silently demoting
+    # every hop to the store-sized fallback; see OPTIMIZATION_r06.md)
+    n_pb = p_buckets if p_buckets is not None else getattr(store, "_inferdf_p_buckets", None)
+    if n_pb and "p_bucket" not in store.columns:
+        n_pb = None
+    pk = _explain_pack(rule, const_ids, n_pb)
+    if pk["invertible"]:
         parts = []
-        for st in rule.conclusion.statements:
-            acc = _statement_seed(frontier_r, rule, st, const_ids)
-            for p in patterns:
-                acc = _join_bindings(acc, scan_pattern(store, p, const_ids, p_buckets=p_buckets))
+        for seed_cond, seed_sel, seed_cols in pk["seeds"]:
+            acc = frontier_r.filter(seed_cond).select(*seed_sel)
+            acc_cols = seed_cols
+            for cond, sel, cols in pk["scans"]:
+                nxt = store.filter(cond)
+                nxt = (
+                    nxt.select(F.lit(1).alias("_ground")).limit(1)
+                    if sel is None
+                    else nxt.select(*sel)
+                )
+                acc, acc_cols = _join_bindings(acc, acc_cols, nxt, cols)
             parts.append(acc)
         out = parts[0]
         for df in parts[1:]:
@@ -124,10 +199,10 @@ def _winning_substitutions(
         # non-invertible conclusion (computed positions): full hypothesis
         # match restricted to the frontier's substitution hashes
         out = find_substitutions(store, rule, const_ids, distinct=True, p_buckets=p_buckets)
-        out = out.withColumn("subst_hash", _subst_hash_col(rule)).join(
+        out = out.withColumn("subst_hash", pk["hash_col"]).join(
             frontier_r.select("subst_hash").dropDuplicates(), "subst_hash"
         )
-    return out.filter(_subst_hash_col(rule) == F.col("subst_hash")).dropDuplicates(
+    return out.filter(pk["hash_col"] == F.col("subst_hash")).dropDuplicates(
         ["subst_hash"]
     )
 
@@ -169,32 +244,18 @@ def explain_step(ds, system, targets: DataFrame | None = None) -> DataFrame:
             F.col("fsign").alias("psign"),
         ).limit(0)
     ]
+    n_pb = ds.p_buckets if getattr(ds, "p_buckets", None) is not None else getattr(
+        store, "_inferdf_p_buckets", None
+    )
+    if n_pb and "p_bucket" not in store.columns:
+        n_pb = None
     for rule in system.rules:
-        frontier_r = frontier.filter(F.col("rule_id") == F.lit(rule.rule_id))
+        pk = _explain_pack(rule, const_ids, n_pb)
+        frontier_r = frontier.filter(pk["frontier_cond"])
         wins = _winning_substitutions(store, rule, const_ids, frontier_r, ds.p_buckets)
         bound = frontier_r.join(wins, "subst_hash")
-
-        def _pos(node):
-            if isinstance(node, Var):
-                return F.col(f"v{node.index}")
-            return F.lit(const_ids[node])
-
-        for j, p in enumerate(rule.hypothesis):
-            parts.append(
-                bound.select(
-                    F.col("fs").alias("s"),
-                    F.col("fp").alias("p"),
-                    F.col("fo").alias("o"),
-                    F.col("fsign").alias("sign"),
-                    "rule_id",
-                    "subst_hash",
-                    F.lit(j).alias("hyp_idx"),
-                    _pos(p.s).alias("ps"),
-                    _pos(p.p).alias("pp"),
-                    _pos(p.o).alias("po"),
-                    F.lit(bool(p.sign)).alias("psign"),
-                )
-            )
+        for sel in pk["slot_sels"]:
+            parts.append(bound.select(*sel))
     out = parts[0]
     for df in parts[1:]:
         out = out.unionByName(df)

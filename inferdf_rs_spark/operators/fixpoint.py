@@ -51,7 +51,7 @@ from ..caches import CheckpointTracker, unpersist_rdd_ids
 from ..rules import Rule
 from ..schemas import CAUSE_ENTAILED, TRIPLE_KEY, TERMS_SCHEMA, TRIPLES_SCHEMA
 from ..terms import merge_terms, resource_facets
-from .conclude import Concluded, conclude, merge_concluded
+from .conclude import Concluded, _empty as _empty_df, conclude, merge_concluded
 from .match import find_substitutions
 
 # the per-round exchanged row: triple key + minimal int lineage.  The
@@ -253,8 +253,8 @@ def fixpoint(
     if [c for c in store.columns if c not in _schema_cols]:
         store = store.select(*_schema_cols)
 
-    eqs = spark.createDataFrame([], EQS_SCHEMA)
-    trues = spark.createDataFrame([], TRUES_SCHEMA)
+    eqs = _empty_df(spark, EQS_SCHEMA)
+    trues = _empty_df(spark, TRUES_SCHEMA)
     metrics: list[dict] = []
 
     start_round = 0
@@ -536,19 +536,21 @@ def fixpoint(
         any_eqs = any(r.has_eq_statements() for _, r in active)
         any_trues = any(r.has_true_statements() for _, r in active)
 
-        new_terms = spark.createDataFrame([], TERMS_SCHEMA)
+        new_terms = _empty_df(spark, TERMS_SCHEMA)
         if any_mints:
             new_terms = _ckpt(
                 c.new_terms.join(terms.select("term_id"), on="term_id", how="left_anti")
                 .dropDuplicates(["term_id"])
             )
-        round_eqs = c.eqs.dropDuplicates()
-        round_trues = c.trues.dropDuplicates()
+        # construct the side-channel dedup plans only when a rule can feed
+        # them (they would be statically empty otherwise; skipping the
+        # construction keeps the per-round driver floor flat)
+        round_eqs = round_trues = None
         if any_eqs:
-            round_eqs = _ckpt(round_eqs)
+            round_eqs = _ckpt(c.eqs.dropDuplicates())
             eqs = eqs.unionByName(round_eqs).dropDuplicates()
         if any_trues:
-            round_trues = _ckpt(round_trues)
+            round_trues = _ckpt(c.trues.dropDuplicates())
             trues = trues.unionByName(round_trues).dropDuplicates()
 
         # the prior round's delta blocks (kept alive across the compaction

@@ -22,6 +22,28 @@ from ..terms import Term
 ConstIds = dict  # Term -> int64 id
 
 
+def _pattern_proj(pattern: SignedPattern) -> dict[int, str]:
+    """First store position (s/p/o) binding each pattern variable —
+    driver-side mirror of the projection ``scan_pattern`` emits, so
+    callers can know a scan's output columns without forcing analysis
+    of the scan plan (``DataFrame.columns`` analyzes the whole subtree
+    on every fresh frame; at ~2 ms a call that was a measurable share
+    of the per-round driver floor — see OPTIMIZATION_r06.md)."""
+    proj: dict[int, str] = {}
+    for pos_name, node in zip(("s", "p", "o"), pattern.positions()):
+        if isinstance(node, Var) and node.index not in proj:
+            proj[node.index] = pos_name
+    return proj
+
+
+def pattern_out_cols(pattern: SignedPattern) -> list[str]:
+    """Output columns of ``scan_pattern`` for this pattern."""
+    proj = _pattern_proj(pattern)
+    if not proj:
+        return ["_ground"]
+    return [f"v{i}" for i in sorted(proj)]
+
+
 def scan_pattern(
     triples: DataFrame,
     pattern: SignedPattern,
@@ -53,6 +75,22 @@ def scan_pattern(
     n_p_buckets = p_buckets if p_buckets is not None else getattr(triples, "_inferdf_p_buckets", None)
     if n_p_buckets and "p_bucket" not in triples.columns:
         n_p_buckets = None
+    cond, sel, _cols = _build_scan(pattern, const_ids, n_p_buckets)
+    out = triples.filter(cond)
+    if sel is None:
+        # fully-ground pattern: containment probe; one marker column
+        return out.select(F.lit(1).alias("_ground")).limit(1)
+    return out.select(*sel)
+
+
+def _build_scan(
+    pattern: SignedPattern, const_ids: ConstIds, n_p_buckets: int | None
+) -> tuple["F.Column", list | None, list[str]]:
+    """Build the (filter condition, projection, output columns) of one
+    pattern scan.  Columns are immutable expression handles, so the
+    result is reusable across every round of a fixpoint over the same
+    rule — ``find_substitutions`` caches it per rule (the repeated
+    construction was a measurable share of the per-round driver floor)."""
     cond = F.col("sign") == F.lit(bool(pattern.sign))
     proj: dict[int, str] = {}
     for pos_name, node in zip(("s", "p", "o"), pattern.positions()):
@@ -69,24 +107,35 @@ def scan_pattern(
                 )
         else:
             raise TypeError(f"pattern position must be Var or Term, got {node!r}")
-    out = triples.filter(cond)
     if not proj:
-        # fully-ground pattern: containment probe; one marker column
-        return out.select(F.lit(1).alias("_ground")).limit(1)
-    return out.select(*[F.col(pos).alias(f"v{i}") for i, pos in sorted(proj.items())])
+        return cond, None, ["_ground"]
+    sel = [F.col(pos).alias(f"v{i}") for i, pos in sorted(proj.items())]
+    return cond, sel, [f"v{i}" for i in sorted(proj)]
 
 
-def _join_bindings(acc: DataFrame | None, nxt: DataFrame) -> DataFrame:
+def _join_bindings(
+    acc: DataFrame | None,
+    acc_cols: list[str],
+    nxt: DataFrame,
+    nxt_cols: list[str],
+) -> tuple[DataFrame, list[str]]:
     """Natural join on shared variable columns (binding-consistency join,
-    reference PatternSubstitution::bind, src/pattern/mod.rs:77-93)."""
+    reference PatternSubstitution::bind, src/pattern/mod.rs:77-93).
+    Column sets are tracked driver-side (``*_cols``) so no intermediate
+    plan is analyzed just to list its columns."""
     if acc is None:
-        return nxt
-    shared = sorted(set(acc.columns) & set(nxt.columns) - {"_ground"})
-    if "_ground" in nxt.columns:
-        return acc.join(nxt.select(F.lit(1).alias("_g")), how="cross").drop("_g")
+        return nxt, list(nxt_cols)
+    if "_ground" in nxt_cols:
+        return acc.join(nxt.select(F.lit(1).alias("_g")), how="cross").drop("_g"), acc_cols
+    shared = sorted((set(acc_cols) & set(nxt_cols)) - {"_ground"})
     if not shared:
-        return acc.crossJoin(nxt)
-    return acc.join(nxt, on=shared, how="inner")
+        return acc.crossJoin(nxt), acc_cols + [c for c in nxt_cols if c not in acc_cols]
+    out_cols = (
+        shared
+        + [c for c in acc_cols if c not in shared]
+        + [c for c in nxt_cols if c not in shared]
+    )
+    return acc.join(nxt, on=shared, how="inner"), out_cols
 
 
 def find_substitutions(
@@ -115,29 +164,62 @@ def find_substitutions(
         # empty hypothesis: a single empty substitution (matches everything once)
         return store.sparkSession.range(1).select(F.lit(1).alias("_ground"))
 
-    def one_variant(delta_slot: int | None) -> DataFrame:
-        acc = None
+    # bucket pruning applies to store-side scans only (the delta is an
+    # in-flight DataFrame without the partition column)
+    store_pb = p_buckets if p_buckets is not None else getattr(store, "_inferdf_p_buckets", None)
+    if store_pb and "p_bucket" not in store.columns:
+        store_pb = None
+
+    # Per-rule scan-expression cache: a fixpoint re-enters here every
+    # round with the same rule/const_ids — the scan Columns are identical
+    # each time, so build them once and reuse (identity-checked against
+    # const_ids; the cached entry holds a strong ref, so the id cannot be
+    # recycled while the cache lives).
+    sc = getattr(rule, "_scan_cache", None)
+    if sc is None or sc[0] is not const_ids or sc[1] != store_pb:
+        store_scans = [_build_scan(p, const_ids, store_pb) for p in patterns]
+        delta_scans = (
+            store_scans
+            if not store_pb
+            else [_build_scan(p, const_ids, None) for p in patterns]
+        )
+        sc = (const_ids, store_pb, store_scans, delta_scans)
+        try:
+            # Rule is a frozen dataclass: bypass the immutability guard for
+            # this derived cache (it does not participate in eq/hash)
+            object.__setattr__(rule, "_scan_cache", sc)
+        except (AttributeError, TypeError):
+            pass
+    _, _, store_scans, delta_scans = sc
+
+    def scan(src: DataFrame, j: int, is_delta: bool) -> tuple[DataFrame, list[str]]:
+        cond, sel, cols = (delta_scans if is_delta else store_scans)[j]
+        out = src.filter(cond)
+        if sel is None:
+            return out.select(F.lit(1).alias("_ground")).limit(1), cols
+        return out.select(*sel), cols
+
+    def one_variant(delta_slot: int | None) -> tuple[DataFrame, list[str]]:
+        acc, acc_cols = None, []
         # match the delta slot first so the (small) delta seeds the cascade
         order = list(range(len(patterns)))
         if delta_slot is not None:
             order = [delta_slot] + [j for j in order if j != delta_slot]
         for j in order:
             src = delta if j == delta_slot else store
-            # bucket pruning applies to store-side scans only (the delta
-            # is an in-flight DataFrame without the partition column)
-            pb = None if j == delta_slot else p_buckets
-            acc = _join_bindings(acc, scan_pattern(src, patterns[j], const_ids, p_buckets=pb))
-        return acc
+            nxt, nxt_cols = scan(src, j, j == delta_slot)
+            acc, acc_cols = _join_bindings(acc, acc_cols, nxt, nxt_cols)
+        return acc, acc_cols
 
     if delta is None:
-        out = one_variant(None)
+        out, out_cols = one_variant(None)
     else:
         variants = [one_variant(i) for i in range(len(patterns))]
-        out = variants[0]
-        for df in variants[1:]:
+        out, out_cols = variants[0]
+        for df, _cols in variants[1:]:
             out = out.unionByName(df)
 
-    if "_ground" in out.columns and len(out.columns) > 1:
+    if "_ground" in out_cols and len(out_cols) > 1:
         out = out.drop("_ground")
     if distinct:
         out = out.dropDuplicates()

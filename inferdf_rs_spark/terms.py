@@ -275,7 +275,24 @@ def resource_facets(terms: DataFrame, eq_mapping: DataFrame | None = None) -> Da
 
     ``eq_mapping`` (optional): DataFrame ``(term_id, res)`` from
     Eq-closure; without it each term is its own resource.
+
+    The built plan is cached on the ``terms`` object per ``eq_mapping``
+    identity: a fixpoint re-derives the same facet view every round over
+    the same (checkpointed) terms frame, and rebuilding it was a
+    measurable share of the per-round driver floor.  DataFrames are
+    immutable, so reuse is safe; the cache dies with the terms object.
     """
+    cached = getattr(terms, "_inferdf_facets_cache", None)
+    if cached is not None and cached[0] is eq_mapping:
+        return cached[1]
+
+    def _done(out: DataFrame) -> DataFrame:
+        try:
+            terms._inferdf_facets_cache = (eq_mapping, out)
+        except AttributeError:
+            pass
+        return out
+
     lit = terms.filter(F.col("kind") == KIND_LITERAL)
 
     dt = F.col("datatype")
@@ -317,7 +334,7 @@ def resource_facets(terms: DataFrame, eq_mapping: DataFrame | None = None) -> Da
     )
 
     if eq_mapping is None:
-        return parsed
+        return _done(parsed)
 
     # Eq-merged resources: re-key literals to their canonical resource and
     # apply the refine rule — distinct facets conflict ⇒ AmbiguousLiteral
@@ -336,7 +353,7 @@ def resource_facets(terms: DataFrame, eq_mapping: DataFrame | None = None) -> Da
     )
     f0 = F.col("facets")[0]
     one = F.size("facets") == 1
-    return agg.select(
+    return _done(agg.select(
         "res",
         F.when(one, f0["vtype"]).otherwise(F.lit(VT_ANY)).alias("vtype"),
         F.when(one, f0["b"]).alias("b"),
@@ -349,7 +366,7 @@ def resource_facets(terms: DataFrame, eq_mapping: DataFrame | None = None) -> Da
         .when(F.size("facets") > 1, F.lit(ERR_AMBIGUOUS_LITERAL))
         .otherwise(F.lit(ERR_NONE))
         .alias("err"),
-    )
+    ))
 
 
 def decode_triples(triples: DataFrame, terms: DataFrame) -> DataFrame:
