@@ -60,12 +60,27 @@ def eq_closure_with_rounds(
     )
     rounds = 0
     converged = False
+    # round-invariant Column expressions, hoisted out of the loop (each
+    # round only re-applies them to the fresh label generation)
+    _nlbl_sel = ("x", F.col("lbl").alias("nlbl"))
+    _jump_keys = (F.col("x").alias("jx"), F.col("lbl").alias("jlbl"))
+    # the moved flag rides the label checkpoint so convergence is one
+    # tiny aggregate over the checkpointed narrow blocks instead of a
+    # re-join of the two label generations (round fold: 2 jobs/round
+    # with the second join-free — the old probe re-planned and
+    # re-executed a join every round)
+    new_lbl = F.least(
+        F.col("lbl"),
+        F.coalesce(F.col("nlbl"), F.col("lbl")),
+        F.coalesce(F.col("jlbl"), F.col("lbl")),
+    )
+    _lbl_sel = ("x", new_lbl.alias("lbl"), (new_lbl != F.col("lbl")).alias("chg"))
     for _ in range(max_iter):
         rounds += 1
         # hook: m(x) = min over neighbors y of lbl(y)
         nb = (
             edges.join(labels.withColumnRenamed("x", "y2"), edges.y == F.col("y2"))
-            .select("x", F.col("lbl").alias("nlbl"))
+            .select(*_nlbl_sel)
             .groupBy("x")
             .agg(F.min("nlbl").alias("nlbl"))
         )
@@ -74,26 +89,14 @@ def eq_closure_with_rounds(
         jump = (
             labels.alias("l1")
             .join(
-                labels.select(F.col("x").alias("jx"), F.col("lbl").alias("jlbl")),
+                labels.select(*_jump_keys),
                 F.col("l1.lbl") == F.col("jx"),
                 "left",
             )
             .select(F.col("l1.x").alias("x"), F.col("jlbl"))
         )
-        # the moved flag rides the label checkpoint so convergence is one
-        # tiny aggregate over the checkpointed narrow blocks instead of a
-        # re-join of the two label generations (round fold: 2 jobs/round
-        # with the second join-free — the old probe re-planned and
-        # re-executed a join every round)
-        new_lbl = F.least(
-            F.col("lbl"),
-            F.coalesce(F.col("nlbl"), F.col("lbl")),
-            F.coalesce(F.col("jlbl"), F.col("lbl")),
-        )
         new_labels, new_ids = tracker.checkpoint(
-            labels.join(nb, "x", "left")
-            .join(jump, "x", "left")
-            .select("x", new_lbl.alias("lbl"), (new_lbl != F.col("lbl")).alias("chg"))
+            labels.join(nb, "x", "left").join(jump, "x", "left").select(*_lbl_sel)
         )
         changed = new_labels.agg(F.max("chg")).collect()[0][0]
         # the old generation has now been read for the last time
