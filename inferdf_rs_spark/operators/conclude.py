@@ -78,7 +78,13 @@ def _empty(spark, schema) -> DataFrame:
     key = schema if isinstance(schema, str) else str(schema)
     df = cache.get(key)
     if df is None:
-        df = spark.createDataFrame([], schema)
+        # .limit(0): a bare createDataFrame([], schema) is an RDD-backed
+        # empty (defaultParallelism empty partitions) that the optimizer
+        # cannot prove empty — an incremental limit(1).collect() probe
+        # over a union containing it burns extra jobs scanning nothing.
+        # LIMIT 0 folds to an empty LocalRelation (OptimizeLimitZero),
+        # which then propagates through unions/joins statically.
+        df = spark.createDataFrame([], schema).limit(0)
         cache[key] = df
     return df
 
