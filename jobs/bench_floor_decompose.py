@@ -7,11 +7,16 @@ sample (almost no data — pure driver cost).  This job times each
 candidate component in isolation on the SAME tiny chain store the
 ``fixpoint_tc`` bench query closes:
 
-- plan_build : construct one round's full plan (seeded deduce →
-               min-struct dedup → anti-join) and force analysis +
+- plan_construct : Python-side construction of one round's full plan
+               (seeded deduce → min-struct dedup → anti-join) WITHOUT
+               analysis — pure py4j round-trip cost.  The r6 caches
+               (scan/conclusion Column packs, facet-view reuse) attack
+               exactly this term.
+- plan_build : the same construction PLUS forced analysis +
                optimization + physical planning WITHOUT executing
                (``queryExecution().executedPlan()``), fresh plan per
-               iteration (no analyzer cache hits).
+               iteration (no analyzer cache hits).  plan_build −
+               plan_construct isolates the actual Catalyst share.
 - action_rt  : bare job round-trip — ``collect()`` of a one-row
                pre-analyzed cached frame (scheduling + py4j latency,
                no planning).
@@ -82,6 +87,11 @@ def main() -> None:
         )
         return new.join(F.broadcast(store.select(*TRIPLE_KEY)), on=TRIPLE_KEY, how="left_anti")
 
+    def plan_construct():
+        # Python-side DataFrame construction only (py4j round-trips);
+        # nothing is analyzed or planned
+        round_plan()
+
     def plan_build():
         round_plan()._jdf.queryExecution().executedPlan()
 
@@ -109,6 +119,7 @@ def main() -> None:
         ).collect()
 
     phases = [
+        ("plan_construct", plan_construct),
         ("plan_build", plan_build),
         ("action_rt", action_rt),
         ("ckpt_io", ckpt_io),
