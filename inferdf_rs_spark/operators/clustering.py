@@ -216,14 +216,27 @@ def ann_ivf(
     cand = base.join(F.broadcast(q), on="cluster").filter(
         F.col(id_col) != F.col("query_id")
     )
+
+    # exact integer distance in one Arrow batch: every (x-y)^2 partial
+    # sum of milli-ints is an integer < 2^53 (guarded), so float64
+    # arithmetic is exact under ANY summation order — bit-identical to
+    # the former interpreted zip_with/aggregate fold, which evaluated
+    # one lambda per element per row (the candidate set grows ~nprobe/k
+    # of the corpus, so that fold dominated at 100x bench scale)
+    @F.pandas_udf("long")
+    def dist_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series(np.array([], dtype=np.int64))
+        D = np.stack(a.to_numpy()).astype(np.float64) - np.stack(b.to_numpy()).astype(
+            np.float64
+        )
+        _check_exact(D, D.shape[1])
+        return pd.Series(np.einsum("ij,ij->i", D, D).astype(np.int64))
+
     scored = cand.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        F.aggregate(
-            F.zip_with(F.col("_v"), F.col("qvec"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("dist_milli2"),
+        dist_udf(F.col("_v"), F.col("qvec")).alias("dist_milli2"),
     ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(
         F.col("dist_milli2").asc(), F.col("neighbor_id").asc()
@@ -235,9 +248,9 @@ def ann_ivf(
     )
 
 
-# pair-scan block size: bounds per-block temp matrices to
-# ~BLOCK x occupancy float64 cells regardless of cluster size
-_PAIR_BLOCK = 4096
+# pair-scan cell budget: each distance block is at most this many
+# float64 cells (~32 MB of temporaries) regardless of cluster size
+_PAIR_CELLS = 1 << 22
 
 
 def semantic_dedup(
@@ -257,8 +270,23 @@ def semantic_dedup(
     then a blocked exact matmul inside ``applyInPandas`` marks rows
     with a lower-id neighbor inside the radius.  Every id lands in
     exactly one cluster, so emitting each cluster's survivors directly
-    is identical to the former dropped-id anti-join."""
+    is identical to the former dropped-id anti-join.
+
+    Intra-cluster fan-out: a row's keep-decision (``no lower-id row of
+    the cluster within the radius``) is independent of every other
+    decision, so when the cluster count is below the cluster width the
+    rows of each cluster are additionally split over ``n_sub`` hash
+    sub-groups — every sub-group task receives the FULL cluster (the
+    explode below) but scans only its own rows against the lower-id
+    prefix, giving k x n_sub parallel tasks with the same total
+    distance work and byte-identical survivors.  ``n_sub`` derives from
+    defaultParallelism / len(centers): at the production shape
+    (k >= cluster width, SemDeDup's own k ~ n/1k) it is 1 and the plan
+    is exactly the former one-exchange shape."""
     thr = float(int(max_dist_milli2))
+
+    par = vecs.sparkSession.sparkContext.defaultParallelism
+    n_sub = max(1, -(-2 * par // max(len(centers), 1)))
 
     def survivors(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("_id", kind="mergesort")
@@ -267,21 +295,35 @@ def semantic_dedup(
         dim = V.shape[1]
         _check_exact(V, dim)
         v2 = np.einsum("ij,ij->i", V, V)
-        n = len(ids)
-        keep = np.ones(n, dtype=bool)
-        for s in range(0, n, _PAIR_BLOCK):
-            e = min(s + _PAIR_BLOCK, n)
-            # distances of rows [s:e) to every strictly-lower row (< e)
-            d = v2[s:e, None] - 2.0 * (V[s:e] @ V[:e].T) + v2[None, :e]
-            lower = np.arange(e)[None, :] < np.arange(s, e)[:, None]
-            keep[s:e] = ~np.any((d <= thr) & lower, axis=1)
-        return pd.DataFrame({id_col: ids[keep]})
+        if "_sub" in pdf.columns:
+            own = np.flatnonzero((pdf["_own"] == pdf["_sub"]).to_numpy())
+        else:
+            own = np.arange(len(ids))
+        if len(own) == 0:
+            return pd.DataFrame({id_col: np.array([], dtype=np.int64)})
+        keep = np.zeros(len(own), dtype=bool)
+        i = 0
+        while i < len(own):
+            # grow the block while its (rows x prefix) stays in budget
+            j = i + 1
+            while j < len(own) and (j - i + 1) * (int(own[j]) + 1) <= _PAIR_CELLS:
+                j += 1
+            P = own[i:j]
+            e = int(P[-1]) + 1
+            # distances of the own rows to every strictly-lower row (< e)
+            d = v2[P, None] - 2.0 * (V[P] @ V[:e].T) + v2[None, :e]
+            lower = np.arange(e)[None, :] < P[:, None]
+            keep[i:j] = ~np.any((d <= thr) & lower, axis=1)
+            i = j
+        return pd.DataFrame({id_col: ids[own[keep]]})
 
     base = vecs.select(F.col(id_col), _milli(F.col(vec_col)).alias("_v")).withColumn(
         "cluster", _nearest_udf(vecs, centers)(F.col("_v"))
     )
-    return (
-        base.select(F.col(id_col).alias("_id"), "_v", "cluster")
-        .groupBy("cluster")
-        .applyInPandas(survivors, schema=f"{id_col} long")
-    )
+    rows = base.select(F.col(id_col).alias("_id"), "_v", "cluster")
+    if n_sub == 1:
+        return rows.groupBy("cluster").applyInPandas(survivors, schema=f"{id_col} long")
+    rows = rows.withColumn(
+        "_own", F.pmod(F.xxhash64("_id"), F.lit(n_sub)).cast("int")
+    ).withColumn("_sub", F.explode(F.array(*[F.lit(i) for i in range(n_sub)])))
+    return rows.groupBy("cluster", "_sub").applyInPandas(survivors, schema=f"{id_col} long")

@@ -46,6 +46,10 @@ def _dot_lr(A: np.ndarray, B: np.ndarray) -> np.ndarray:
 
 _COSINE_BATCH_UDF = None
 
+# pairs per verify block inside the bucket-local near-dup kernel: bounds
+# the kernel's temporaries to ~3 x 64 x 65536 float64 ~ 100 MB per task
+_VERIFY_BLOCK = 1 << 16
+
 
 def cosine_batch(a: Column, b: Column) -> Column:
     """Vectorized cosine, bit-identical to ``cosine``: same float32 →
@@ -299,16 +303,24 @@ def embedding_near_dup_pairs(
     bucket collisions (any table), verified by exact cosine ≥ threshold.
     Output (id_a, id_b, cosine_micro).
 
-    The dedup-family sibling of ``minhash_near_dup_pairs``: the
-    bucket-keyed SELF-join bounds candidate work by bucket occupancy
-    (~n/2^n_planes per table) — the n² cosine matrix never
-    materializes; pass ``n_vectors`` with ``n_planes=None`` to keep
-    occupancy bounded as the corpus grows (``auto_n_planes``).
-    Candidate ids travel narrow through the pair-dedup exchange; the
-    embedding vectors join back only for the verify step.  Like the
-    ANN path this is integer-deterministic end-to-end (bit-exact
-    DuckDB oracle in ``__spark_entry__``); recall vs the brute-force
-    pair set is a property of n_tables/n_planes."""
+    The dedup-family sibling of ``minhash_near_dup_pairs``: candidate
+    pairs exist only within an LSH bucket, so the verify cosines are
+    computed INSIDE each (table, code) bucket by an ``applyInPandas``
+    pair kernel — each vector crosses the wire once per bucket it
+    occupies (n x n_tables rows total), never once per candidate pair.
+    The former shape (narrow pair dedup exchange + two joins attaching
+    the vectors to every candidate pair) shuffled 2 x dim floats per
+    PAIR: with fixed n_planes the per-bucket occupancy grows ~n/2^planes
+    and the pair count ~n^2/2^planes, so at 100x bench scale that was
+    ~6 x 10^8 wide rows (~450 s measured); the bucket-local kernel
+    ships ~10^6 vector copies instead.  Only pairs that PASS the
+    threshold reach the final pair-dedup exchange.  Pass ``n_vectors``
+    with ``n_planes=None`` to keep occupancy bounded as the corpus
+    grows (``auto_n_planes``).  Bit-exact vs the previous shape and the
+    DuckDB oracle in ``__spark_entry__``: same float32->float64
+    widening, same left-to-right accumulation (``_dot_lr``), same
+    floor(cos * 1e6); recall vs the brute-force pair set is a property
+    of n_tables/n_planes."""
     if dim is None:
         raise ValueError("embedding_near_dup_pairs requires the embedding dimension 'dim'")
     if n_planes is None:
@@ -326,43 +338,52 @@ def embedding_near_dup_pairs(
     elif n_tables is None:
         raise ValueError("n_tables=None (auto) requires n_planes=None too")
 
-    from pyspark.storagelevel import StorageLevel
-
     from .dedup import spread_input
 
     embeddings = spread_input(embeddings)
-    # persist the NARROW code table (id, tbl, code): both sides of the
-    # bucket self-join scan it, and without the cache each side re-runs
-    # the sign-code matmul UDF over every vector
-    codes = (
-        sign_codes(embeddings, dim, n_planes, n_tables, id_col, vec_col)
-        .select(id_col, "tbl", "code")
-        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    coded = sign_codes(embeddings, dim, n_planes, n_tables, id_col, vec_col)
+    id_type = dict(embeddings.dtypes)[id_col]
+    thr = float(threshold)
+
+    def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = {
+            "id_a": np.array([], dtype=np.int64),
+            "id_b": np.array([], dtype=np.int64),
+            "cosine_micro": np.array([], dtype=np.int64),
+        }
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(empty)
+        ids = pdf[id_col].to_numpy()
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.sqrt(_dot_lr(V, V))  # row-wise: identical to the per-pair _dot_lr(A, A)
+        # pair index memory is O(occupancy^2) per bucket — the same bound
+        # the candidate set itself already has (auto_n_planes keeps
+        # occupancy ~target as the corpus grows)
+        ia, ib = np.triu_indices(n, k=1)
+        swap = ids[ia] > ids[ib]  # orient ascending, as the former id_a < id_b filter did
+        pa = np.where(swap, ib, ia)
+        pb = np.where(swap, ia, ib)
+        outs = [empty]
+        for s in range(0, len(pa), _VERIFY_BLOCK):
+            sa, sb = pa[s : s + _VERIFY_BLOCK], pb[s : s + _VERIFY_BLOCK]
+            cos = _dot_lr(V[sa], V[sb]) / (norms[sa] * norms[sb])
+            keep = (cos >= thr) & (ids[sa] != ids[sb])
+            if keep.any():
+                outs.append(
+                    {
+                        "id_a": ids[sa[keep]].astype(np.int64),
+                        "id_b": ids[sb[keep]].astype(np.int64),
+                        "cosine_micro": np.floor(cos[keep] * 1e6).astype(np.int64),
+                    }
+                )
+        return pd.concat([pd.DataFrame(o) for o in outs], ignore_index=True)
+
+    return (
+        coded.groupBy("tbl", "code")
+        .applyInPandas(_bucket_pairs, f"id_a {id_type}, id_b {id_type}, cosine_micro long")
+        .dropDuplicates(["id_a", "id_b"])
     )
-    a = codes.select(F.col(id_col).alias("id_a"), "tbl", "code")
-    b = codes.select(F.col(id_col).alias("id_b"), "tbl", "code")
-    cands = (
-        a.join(b, on=["tbl", "code"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates()
-    )
-    ea = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    eb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    out = (
-        cands.join(ea, "id_a")
-        .join(eb, "id_b")
-        .withColumn("cos", cosine_batch(F.col("va"), F.col("vb")))
-        .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", F.floor(F.col("cos") * 1e6).cast("long").alias("cosine_micro"))
-    )
-    try:
-        # materialize before releasing the code cache (the minhash
-        # near-dup lifecycle pattern): callers get a result that does
-        # not recompute through the released cache
-        return out.localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK_DESER)
-    finally:
-        codes.unpersist()
 
 
 def lsh_bucket_ann(

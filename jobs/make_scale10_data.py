@@ -16,8 +16,23 @@ NOT oracle data: oracle_sql() parity is checked on the pristine
 ``bench.py`` can be pointed at a driver-sf1.0-sized input
 (SPARK_GRAFT_SF_DIR=<out_dir>).
 
-Usage:  python jobs/make_scale10_data.py [src_dir] [out_dir] [copies]
-Defaults: /root/testdata/sf0.1 /root/scale10/sf1.0 10
+Usage:  python jobs/make_scale10_data.py [src_dir] [out_dir] [copies] [mode]
+Defaults: /root/testdata/sf0.1 /root/scale10/sf1.0 10 tag
+
+Perturbation modes:
+- ``tag`` (default; the mode behind OPTIMIZATION_r06.md's paired 10x
+  numbers): copies >0 get a short per-copy text suffix and a uniform
+  per-copy embedding shift.  Copies stay NEAR-duplicates of each other
+  (Jaccard/cosine just below identity), so every source row becomes a
+  <copies>-member near-dup family — a harsh-but-valid stress of the
+  dedup family; do not read its dedup-query seconds as driver-like.
+- ``decor``: copies are decorrelated — each copy drops a different ~20%
+  of the words (shingle Jaccard across copies ~0.5, below the 0.8
+  near-dup threshold) and adds per-(copy, dim) pseudo-noise to the
+  embeddings (cosine across copies well below the verify radius).  Use
+  for large copy counts (e.g. 100x) where quadratic family growth in
+  ``tag`` mode would swamp the dedup queries with candidate pairs no
+  organic corpus produces.
 
 NB: frozen ``bench.py`` derives its reported "sf" from the directory
 name (``sf_dir.split("sf")[-1]``), so the out dir must end in
@@ -40,6 +55,8 @@ def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out = sys.argv[2] if len(sys.argv) > 2 else "/root/scale10/sf1.0"
     copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    mode = sys.argv[4] if len(sys.argv) > 4 else "tag"
+    assert mode in ("tag", "decor"), mode
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"CREATE TABLE copies AS SELECT range AS i FROM range({copies})")
@@ -92,24 +109,39 @@ def main() -> None:
         "event_type, value, props",
         "i, event_id",
     )
-    # copy 0 keeps the original text; copies >0 get a short per-copy tag so
-    # exact/near-dup work sees a realistically diverse 10x corpus
+    # copy 0 always keeps the original rows (oracle-fixture text survives
+    # verbatim in every mode)
+    if mode == "tag":
+        text_expr = "CASE WHEN i = 0 THEN text ELSE text || ' c' || i END"
+        emb_expr = (
+            "CASE WHEN i = 0 THEN embedding "
+            "ELSE list_transform(embedding, x -> CAST(x + i * 0.0017 AS FLOAT)) END"
+        )
+    else:  # decor: each copy drops a different ~20% of words / adds
+        # per-(copy, dim) pseudo-noise, so cross-copy pairs fall below
+        # the near-dup thresholds (1-based lambda index j)
+        text_expr = (
+            "CASE WHEN i = 0 THEN text ELSE array_to_string("
+            "list_filter(string_split(text, ' '), (w, j) -> ((j + i*7) % 5) != 0), ' ') END"
+        )
+        # per-copy pseudo-random SIGN pattern: an isometry (within-copy
+        # cosines/distances exactly preserved) whose cross-copy cosines
+        # scatter around 0 (far below any verify radius) — additive noise
+        # cannot do this: the embed verify threshold is cosine >= 0.4
+        emb_expr = (
+            "CASE WHEN i = 0 THEN embedding "
+            "ELSE list_transform(embedding, (x, j) -> "
+            "CAST(x * (CASE WHEN hash(i*64 + j) % 2 = 0 THEN 1 ELSE -1 END) AS FLOAT)) END"
+        )
     gen(
         "documents",
-        f"doc_id + i*{OFF} AS doc_id, "
-        "CASE WHEN i = 0 THEN text ELSE text || ' c' || i END AS text, "
-        "lang, source, "
-        "CASE WHEN i = 0 THEN n_chars ELSE n_chars + 2 + length(CAST(i AS VARCHAR)) END AS n_chars",
+        f"doc_id + i*{OFF} AS doc_id, {text_expr} AS text, "
+        f"lang, source, length({text_expr}) AS n_chars",
         "i, doc_id",
     )
-    # per-copy uniform shift keeps vectors near (same ANN workload shape)
-    # but not byte-identical across copies
     gen(
         "embeddings",
-        f"vec_id + i*{OFF} AS vec_id, "
-        "CASE WHEN i = 0 THEN embedding "
-        "ELSE list_transform(embedding, x -> CAST(x + i * 0.0017 AS FLOAT)) END AS embedding, "
-        "label",
+        f"vec_id + i*{OFF} AS vec_id, {emb_expr} AS embedding, label",
         "i, vec_id",
     )
     print(f"done -> {out}")
